@@ -1,0 +1,113 @@
+"""Tracer-level properties: backend parity, determinism, ray accounting
+(SURVEY.md §4 Property + Golden rows). The two device tracer modes and the
+NumPy oracle are mutual oracles."""
+
+import numpy as np
+import pytest
+
+from tpurt import config, cpu_ref, film as film_mod, render, scene as scene_mod
+
+CFG = config.RenderConfig(width=48, height=36, spp=4, max_depth=6,
+                          scene="spheres_plane", mode="mega", seed=9)
+
+
+@pytest.fixture(scope="module")
+def sp_scene():
+    return config.build_scene(CFG)
+
+
+@pytest.fixture(scope="module")
+def cornell_scene():
+    return config.build_scene(CFG.replace(scene="cornell"))
+
+
+def test_mega_matches_oracle(sp_scene):
+    scene, cam = sp_scene
+    f_dev, s_dev = render.render(CFG, scene, cam)
+    f_ref, s_ref = cpu_ref.render(CFG, scene, cam)
+    assert s_dev["rays"] == s_ref["rays"]  # identical RNG => identical paths
+    assert film_mod.rmse(f_dev, f_ref) < 1e-4
+
+
+def test_wavefront_matches_mega(sp_scene):
+    scene, cam = sp_scene
+    f_mega, s_mega = render.render(CFG, scene, cam)
+    f_wave, s_wave = render.render(CFG.replace(mode="wavefront"), scene, cam)
+    assert s_mega["rays"] == s_wave["rays"]
+    assert film_mod.rmse(f_mega, f_wave) < 1e-5
+
+
+def test_cornell_all_materials(cornell_scene):
+    scene, cam = cornell_scene
+    cfg = CFG.replace(scene="cornell")
+    f_dev, s_dev = render.render(cfg, scene, cam)
+    f_ref, s_ref = cpu_ref.render(cfg, scene, cam)
+    assert s_dev["rays"] == s_ref["rays"]
+    assert film_mod.rmse(f_dev, f_ref) < 1e-4
+    assert f_dev.mean() > 0.01  # the light actually illuminates the box
+
+
+def test_russian_roulette_parity(sp_scene):
+    scene, cam = sp_scene
+    cfg = CFG.replace(rr_start=2, max_depth=10)
+    f_dev, s_dev = render.render(cfg, scene, cam)
+    f_ref, s_ref = cpu_ref.render(cfg, scene, cam)
+    assert s_dev["rays"] == s_ref["rays"]
+    assert film_mod.rmse(f_dev, f_ref) < 1e-4
+    # RR must actually kill rays vs the no-RR run
+    _, s_norr = render.render(CFG.replace(max_depth=10), scene, cam)
+    assert s_dev["rays"] < s_norr["rays"]
+
+
+def test_same_seed_bit_identical(sp_scene):
+    scene, cam = sp_scene
+    f1, _ = render.render(CFG, scene, cam)
+    f2, _ = render.render(CFG, scene, cam)
+    assert np.array_equal(f1, f2)
+
+
+def test_different_seed_differs(sp_scene):
+    scene, cam = sp_scene
+    f1, _ = render.render(CFG, scene, cam)
+    f2, _ = render.render(CFG.replace(seed=10), scene, cam)
+    assert not np.array_equal(f1, f2)
+
+
+def test_chunking_invariance(sp_scene):
+    """Decomposition must not change the image (counter-based RNG)."""
+    scene, cam = sp_scene
+    f_one, _ = render.render(CFG, scene, cam)
+    tiny = CFG.replace(ray_batch=512)  # forces pixel blocks + spp chunks
+    f_chunked, _ = render.render(tiny, scene, cam)
+    assert film_mod.rmse(f_one, f_chunked) < 1e-6
+
+
+def test_primary_mode(sp_scene):
+    scene, cam = sp_scene
+    cfg = CFG.replace(mode="primary", spp=1)
+    f_dev, s_dev = render.render(cfg, scene, cam)
+    f_ref, _ = cpu_ref.render(cfg, scene, cam)
+    assert s_dev["rays"] == cfg.width * cfg.height
+    assert film_mod.rmse(f_dev, f_ref) < 1e-4
+
+
+def test_mesh_scene_bvh_vs_brute(micro_mesh):
+    v, f = micro_mesh
+    cfg = CFG.replace(max_depth=5)
+    sc_b, cam = scene_mod.mesh_scene(cfg.aspect, v, f, use_bvh=True)
+    sc_n, _ = scene_mod.mesh_scene(cfg.aspect, v, f, use_bvh=False)
+    f_b, s_b = render.render(cfg, sc_b, cam)
+    f_n, s_n = render.render(cfg, sc_n, cam)
+    assert s_b["rays"] == s_n["rays"]
+    assert film_mod.rmse(f_b, f_n) < 1e-6
+    # and the oracle agrees through the BVH path too
+    f_ref, s_ref = cpu_ref.render(cfg, sc_b, cam)
+    assert s_ref["rays"] == s_b["rays"]
+    assert film_mod.rmse(f_b, f_ref) < 1e-4
+
+
+def test_nan_free(cornell_scene):
+    scene, cam = cornell_scene
+    cfg = CFG.replace(scene="cornell", spp=8, max_depth=12)
+    f_dev, _ = render.render(cfg, scene, cam)
+    assert np.isfinite(f_dev).all()

@@ -1,0 +1,164 @@
+"""Host-side BVH builder -> flattened, skip-linked node arrays (SURVEY §1 L4).
+
+The reference builds a pointer-based node tree and traverses it with a
+recursive descent + stack per ray (SURVEY.md §2 "BVH build"/"BVH traversal").
+On TPU a per-lane stack means scattered per-lane memory updates, so instead
+the tree is flattened in depth-first order with *skip links* (escape
+indices): traversal keeps a single int32 node cursor per ray and never
+pushes/pops (SURVEY.md §7 M2 "rope/escape-index truly stackless").
+
+For node i in DFS order:
+  * inner node entered & box hit  -> next node is i + 1 (its left child);
+  * leaf node entered & box hit   -> intersect its LEAF_N-padded triangle
+    run, then continue at skip[i];
+  * box missed                    -> continue at skip[i];
+  * skip == -1                    -> traversal done.
+
+Build policy (Appendix A.11): sort triangle centroids on the widest axis of
+the centroid bounds, median split, leaf <= LEAF_N tris. Triangles are
+permuted so each leaf's run is contiguous and padded to LEAF_N with a
+degenerate (never-hit) triangle, letting the traversal loop intersect a
+fixed-shape (N, LEAF_N) block every leaf visit.
+
+Build runs once per scene on the host in NumPy (off the hot path,
+SURVEY.md §3.5); the arrays live in HBM for the device traversal loop.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import NamedTuple
+
+import numpy as np
+
+LEAF_N = 4
+
+
+class BVH(NamedTuple):
+    """Flattened skip-linked tree. All arrays device-ready (f32/i32)."""
+
+    lo: np.ndarray       # (M,3) node bbox min
+    hi: np.ndarray       # (M,3) node bbox max
+    skip: np.ndarray     # (M,)  DFS escape index, -1 terminates
+    first: np.ndarray    # (M,)  first padded-triangle index (leaves)
+    count: np.ndarray    # (M,)  leaf triangle count, 0 for inner nodes
+    # Leaf-order triangle soup, padded to LEAF_N per leaf with degenerates:
+    tri_v0: np.ndarray   # (Tp,3)
+    tri_e1: np.ndarray   # (Tp,3)
+    tri_e2: np.ndarray   # (Tp,3)
+    tri_mat: np.ndarray  # (Tp,) int32
+
+
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
+          leaf_n: int = LEAF_N) -> BVH:
+    """Median-split BVH over a triangle soup; returns flattened arrays."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    mat = np.asarray(mat, np.int32)
+    ntri = v0.shape[0]
+    assert ntri > 0, "BVH over empty triangle soup"
+
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tlo + thi) * 0.5
+
+    lo_l: list[np.ndarray] = []
+    hi_l: list[np.ndarray] = []
+    skip_l: list[int] = []
+    first_l: list[int] = []
+    count_l: list[int] = []
+    leaf_runs: list[np.ndarray] = []  # original-index runs, leaf order
+    pad_cursor = 0
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+
+    UNSET = -2
+
+    def rec(idx: np.ndarray) -> int:
+        """Emit the subtree over triangles idx in DFS order; return root id."""
+        nonlocal pad_cursor
+        node_id = len(skip_l)
+        lo_l.append(tlo[idx].min(axis=0))
+        hi_l.append(thi[idx].max(axis=0))
+        skip_l.append(UNSET)
+        if idx.size <= leaf_n:
+            first_l.append(pad_cursor)
+            count_l.append(idx.size)
+            leaf_runs.append(idx)
+            pad_cursor += leaf_n
+        else:
+            first_l.append(0)
+            count_l.append(0)
+            ext = centroid[idx].max(axis=0) - centroid[idx].min(axis=0)
+            axis = int(np.argmax(ext))
+            order = idx[np.argsort(centroid[idx, axis], kind="stable")]
+            half = idx.size // 2
+            left_root = rec(order[:half])
+            right_root = rec(order[half:])
+            assert left_root == node_id + 1
+            # Every exit inside the left subtree lands on the right subtree.
+            for i in range(left_root, right_root):
+                if skip_l[i] == UNSET:
+                    skip_l[i] = right_root
+        return node_id
+
+    root = rec(np.arange(ntri, dtype=np.int64))
+    assert root == 0
+    for i, s in enumerate(skip_l):
+        if s == UNSET:
+            skip_l[i] = -1  # exits the whole tree
+    sys.setrecursionlimit(old_limit)
+
+    # Pad each leaf run to leaf_n with a degenerate triangle (zero edges ->
+    # det == 0 -> Möller–Trumbore rejects it).
+    n_pad = pad_cursor
+    pv0 = np.zeros((n_pad, 3), np.float32)
+    pe1 = np.zeros((n_pad, 3), np.float32)
+    pe2 = np.zeros((n_pad, 3), np.float32)
+    pmat = np.zeros((n_pad,), np.int32)
+    cursor = 0
+    for run in leaf_runs:
+        k = run.size
+        pv0[cursor : cursor + k] = v0[run]
+        pe1[cursor : cursor + k] = v1[run] - v0[run]
+        pe2[cursor : cursor + k] = v2[run] - v0[run]
+        pmat[cursor : cursor + k] = mat[run]
+        cursor += leaf_n
+
+    return BVH(
+        lo=np.stack(lo_l).astype(np.float32),
+        hi=np.stack(hi_l).astype(np.float32),
+        skip=np.asarray(skip_l, np.int32),
+        first=np.asarray(first_l, np.int32),
+        count=np.asarray(count_l, np.int32),
+        tri_v0=pv0,
+        tri_e1=pe1,
+        tri_e2=pe2,
+        tri_mat=pmat,
+    )
+
+
+def validate(b: BVH) -> None:
+    """Structural invariants, used by tests (SURVEY.md §4 'BVH' row)."""
+    m = b.lo.shape[0]
+    assert b.skip.shape == (m,) and b.count.shape == (m,)
+    assert np.all(b.lo <= b.hi + 1e-6)
+    ids = np.arange(m)
+    ok = (b.skip == -1) | (b.skip > ids)
+    assert np.all(ok), "skip links must move forward in DFS order"
+    leaves = b.count > 0
+    assert np.all(b.first[leaves] % LEAF_N == 0)
+    assert np.all(b.first[leaves] + b.count[leaves] <= b.tri_v0.shape[0])
+    # Leaf bboxes contain their (real) triangles.
+    for nid in np.nonzero(leaves)[0][:256]:
+        f, c = int(b.first[nid]), int(b.count[nid])
+        vs = np.concatenate(
+            [
+                b.tri_v0[f : f + c],
+                b.tri_v0[f : f + c] + b.tri_e1[f : f + c],
+                b.tri_v0[f : f + c] + b.tri_e2[f : f + c],
+            ]
+        )
+        assert np.all(vs >= b.lo[nid] - 1e-4) and np.all(vs <= b.hi[nid] + 1e-4)

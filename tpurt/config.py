@@ -1,0 +1,83 @@
+"""RenderConfig + the five BASELINE presets (SURVEY.md §5 "Config / flag
+system", BASELINE.json ``configs``).
+
+The reference parses argv into loose globals; here a frozen dataclass is the
+single source of truth so the CLI, tests, benchmarks, and the eval harness
+invoke identical code paths via named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from . import meshgen, scene as scene_mod
+from .io import obj as obj_io
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 640
+    height: int = 480
+    spp: int = 1
+    max_depth: int = 8
+    seed: int = 0
+    scene: str = "spheres_plane"      # spheres_plane | cornell | blob | obj:<path>
+    mode: str = "mega"                 # primary | mega | wavefront
+    rr_start: Optional[int] = None     # Russian roulette from this bounce (A.8)
+    spp_chunk: int = 0                 # 0 = auto (by ray-batch budget)
+    ray_batch: int = 1 << 20           # max rays per device batch
+    shard: str = "none"                # none | tiles | spp (SURVEY.md §2 table)
+    mesh_subdiv: int = 6               # blob resolution (81920 tris at 6)
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def build_scene(cfg: RenderConfig):
+    """Scene-name dispatch -> (Scene, Camera). Host-side, run once."""
+    if cfg.scene == "spheres_plane":
+        return scene_mod.spheres_plane(cfg.aspect)
+    if cfg.scene == "cornell":
+        return scene_mod.cornell(cfg.aspect)
+    if cfg.scene == "blob":
+        v, f = meshgen.blob(subdiv=cfg.mesh_subdiv)
+        return scene_mod.mesh_scene(cfg.aspect, v, f)
+    if cfg.scene.startswith("obj:"):
+        v, f = obj_io.load(cfg.scene[4:])
+        return scene_mod.mesh_scene(cfg.aspect, v, f)
+    raise ValueError(f"unknown scene {cfg.scene!r}")
+
+
+# The 5 BASELINE eval configs, frozen (resolutions the configs name; where a
+# config names none, decreed here and used consistently everywhere).
+PRESETS: dict[str, RenderConfig] = {
+    # 1. primary-ray, built-in sphere/plane scene, Lambertian, 1 spp, 480p
+    "c1-primary": RenderConfig(
+        width=640, height=480, spp=1, scene="spheres_plane", mode="primary",
+    ),
+    # 2. full path trace, 3 materials, 64 spp, Cornell-style box, fixed seed
+    "c2-cornell": RenderConfig(
+        width=512, height=512, spp=64, scene="cornell", mode="mega",
+        max_depth=8,
+    ),
+    # 3. BVH triangle mesh (bunny-class), 720p, 128 spp
+    "c3-mesh": RenderConfig(
+        width=1280, height=720, spp=128, scene="blob", mode="mega",
+        max_depth=8,
+    ),
+    # 4. wavefront + compaction + Russian roulette, 1080p, 256 spp
+    "c4-wavefront": RenderConfig(
+        width=1920, height=1080, spp=256, scene="blob", mode="wavefront",
+        max_depth=16, rr_start=3,
+    ),
+    # 5. multi-chip tile-sharded, ICI allreduce accumulation, 4K, 1024 spp
+    "c5-multichip": RenderConfig(
+        width=3840, height=2160, spp=1024, scene="blob", mode="wavefront",
+        max_depth=16, rr_start=3, shard="tiles",
+    ),
+}

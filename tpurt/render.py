@@ -1,0 +1,120 @@
+"""Render loop: chunked ray batches over the device (SURVEY.md §1 L9).
+
+Replaces the reference's thread-pool tile queue (SURVEY.md §2
+"Thread-pool work queue"): instead of workers pulling tile indices from an
+atomic counter, the frame is decomposed into (pixel-block × sample-chunk)
+ray batches, each one jit-compiled XLA program invocation; accumulation is
+a functional sum, so order never matters. Multi-chip sharding lives in
+mesh.py / shard_map (SURVEY.md §2 "Distributed communication backend") and
+wraps this same per-chip loop.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera as camera_mod
+from . import rng, trace, wavefront
+from .config import RenderConfig, build_scene
+from .scene import Scene
+
+
+@partial(jax.jit, static_argnames=("mode", "max_depth", "rr_start"))
+def _trace_batch(scene: Scene, cam, pixel_ids, sample_ids, seed,
+                 width, height, mode: str, max_depth: int, rr_start):
+    """Trace the (pixel × sample) outer product as one flat ray batch.
+
+    pixel_ids: (B,), sample_ids: (C,). Returns (radiance summed over the C
+    samples, shape (B,3), and the rays-cast scalar)."""
+    b = pixel_ids.shape[0]
+    c = sample_ids.shape[0]
+    pix = jnp.tile(pixel_ids, c)                      # (B*C,) sample-major
+    smp = jnp.repeat(sample_ids, b)
+    keys = rng.base_keys(seed, pix, smp)
+    jit2 = rng.camera_draws(keys)
+    o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
+
+    if mode == "primary":
+        rad, nrays = trace.shade_primary(scene, o, d)
+    else:
+        rad, nrays = trace.trace(scene, o, d, keys, max_depth, rr_start)
+    return rad.reshape(c, b, 3).sum(axis=0), nrays
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _raygen(scene: Scene, cam, pixel_ids, sample_ids, seed,
+            width: int, height: int):
+    b = pixel_ids.shape[0]
+    c = sample_ids.shape[0]
+    pix = jnp.tile(pixel_ids, c)
+    smp = jnp.repeat(sample_ids, b)
+    keys = rng.base_keys(seed, pix, smp)
+    jit2 = rng.camera_draws(keys)
+    o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
+    return wavefront.make_queue(o, d, pix, keys)
+
+
+def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
+    """Render a full frame on the local device.
+
+    Returns (film (H,W,3) linear f32 ndarray, stats dict). The film is the
+    per-pixel *mean* over cfg.spp samples (A.9).
+    """
+    if scene is None or cam is None:
+        scene, cam = build_scene(cfg)
+    scene = scene.device()
+
+    npix = cfg.width * cfg.height
+    seed = jnp.uint32(cfg.seed)
+
+    pixel_block = min(npix, cfg.ray_batch)
+    spp_chunk = cfg.spp_chunk or max(1, cfg.ray_batch // pixel_block)
+    spp_chunk = min(spp_chunk, cfg.spp)
+
+    t0 = time.perf_counter()
+    total_rays = 0
+    film_flat = jnp.zeros((npix, 3), jnp.float32)
+
+    for p0 in range(0, npix, pixel_block):
+        p1 = min(p0 + pixel_block, npix)
+        pixel_ids = jnp.arange(p0, p1, dtype=jnp.int32)
+        for s0 in range(0, cfg.spp, spp_chunk):
+            s1 = min(s0 + spp_chunk, cfg.spp)
+            sample_ids = jnp.arange(s0, s1, dtype=jnp.int32)
+            if cfg.mode == "wavefront":
+                queue = _raygen(scene, cam, pixel_ids, sample_ids, seed,
+                                cfg.width, cfg.height)
+                film_flat, nrays = wavefront.trace_chunk(
+                    scene, film_flat, queue, cfg.max_depth, cfg.rr_start
+                )
+                total_rays += nrays
+            else:
+                rad, nrays = _trace_batch(
+                    scene, cam, pixel_ids, sample_ids, seed,
+                    cfg.width, cfg.height, cfg.mode, cfg.max_depth,
+                    cfg.rr_start,
+                )
+                film_flat = film_flat.at[p0:p1].add(rad)
+                total_rays += int(nrays)
+
+    film_flat = film_flat / cfg.spp
+    film = np.asarray(jax.block_until_ready(film_flat)).reshape(
+        cfg.height, cfg.width, 3
+    )
+    wall = time.perf_counter() - t0
+
+    stats = {
+        "rays": int(total_rays),
+        "wall_s": wall,
+        "mrays_per_s": total_rays / wall / 1e6 if wall > 0 else 0.0,
+        "spp_per_s": cfg.spp / wall if wall > 0 else 0.0,
+        "pixels": npix,
+        "spp": cfg.spp,
+    }
+    return film, stats

@@ -1,0 +1,157 @@
+"""Wavefront tracer: SoA ray queues + compaction + Russian roulette
+(SURVEY.md §1 L6', §3.3; BASELINE config 4).
+
+Where the megakernel (trace.py) carries dead lanes masked to the bitter end,
+the wavefront backend makes ray death *shrink the work*: the bounce loop
+runs at the host level, each bounce is one jitted pass over the queue, and
+between bounces the queue is compacted — a stable argsort on
+``(liveness desc, material asc)`` (the BASELINE-mandated "ray compaction by
+material/liveness sort") — then sliced down to the next power-of-two bucket
+that holds the survivors. Shapes stay static per bucket (XLA-friendly,
+bounded recompiles: one per bucket size), while arithmetic per bounce decays
+with the live-ray population.
+
+Radiance is committed to the film with ``segment_sum`` the moment a ray dies
+(fixed ordering -> deterministic accumulation; SURVEY.md §7 hard part 4);
+per-ray math and RNG streams are identical to the megakernel, so the two
+backends are mutual oracles up to float summation order (SURVEY.md §4
+"Property" row).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import materials, rng, trace
+from .scene import Scene
+
+MIN_BUCKET = 1024
+
+
+class Queue(NamedTuple):
+    """SoA ray queue; every field row i describes the same ray."""
+
+    o: jnp.ndarray       # (N,3)
+    d: jnp.ndarray       # (N,3)
+    atten: jnp.ndarray   # (N,3)
+    rad: jnp.ndarray     # (N,3) radiance accumulated so far by this ray
+    pix: jnp.ndarray     # (N,)  flat pixel id (film segment)
+    key: jnp.ndarray     # (N,2) threefry base key (uint32)
+    alive: jnp.ndarray   # (N,) bool
+
+
+@partial(jax.jit, static_argnames=("rr_start",))
+def step(scene: Scene, film, queue: Queue, bounce, rr_start):
+    """One wavefront bounce pass: intersect -> emit/sky -> scatter -> RR ->
+    commit the radiance of rays that died -> compaction sort.
+
+    Returns (film', sorted queue, live_count, rays_cast).
+    """
+    o, d, atten, rad, pix, key, alive = queue
+    rays_cast = jnp.sum(alive, dtype=jnp.int32)
+
+    h = trace.intersect(scene, o, d)
+    live_hit = alive & h.ok
+    live_miss = alive & ~h.ok
+
+    rad = rad + jnp.where(live_miss[:, None],
+                          atten * trace.sky(scene, d), 0.0)
+    emit = scene.mat_emit[h.mat]
+    rad = rad + jnp.where(live_hit[:, None], atten * emit, 0.0)
+
+    draws = rng.bounce_draws(key, bounce)
+    p = o + h.t[:, None] * d
+    new_d, att, s_alive = materials.scatter(
+        d, h.n, h.front,
+        scene.mat_type[h.mat], scene.mat_albedo[h.mat],
+        scene.mat_fuzz[h.mat], scene.mat_ior[h.mat], draws,
+    )
+    atten = jnp.where(live_hit[:, None], atten * att, atten)
+    next_alive = live_hit & s_alive
+    o = jnp.where(live_hit[:, None], p, o)
+    d = jnp.where(live_hit[:, None], new_d, d)
+
+    if rr_start is not None:
+        p_surv = jnp.clip(jnp.max(atten, axis=-1),
+                          trace.RR_CLAMP_LO, trace.RR_CLAMP_HI)
+        rr_on = (bounce >= rr_start) & next_alive
+        survive = draws[:, 4] < p_surv
+        atten = jnp.where((rr_on & survive)[:, None],
+                          atten / p_surv[:, None], atten)
+        next_alive = next_alive & (~rr_on | survive)
+
+    # Rays that were alive entering this bounce and are now dead: their
+    # radiance is final — commit to the film (deterministic segment_sum).
+    died = alive & ~next_alive
+    film = film + jax.ops.segment_sum(
+        jnp.where(died[:, None], rad, 0.0), pix, num_segments=film.shape[0]
+    )
+
+    # Compaction: live rays first, grouped by material of the *next* bounce's
+    # surface (unknown) — we sort by the material just scattered from, which
+    # correlates strongly with next-hit coherence (specular chains etc.).
+    sort_key = jnp.where(next_alive, h.mat, jnp.int32(0x7FFFFFFF))
+    order = jnp.argsort(sort_key, stable=True)
+    queue = Queue(
+        o=o[order], d=d[order], atten=atten[order], rad=rad[order],
+        pix=pix[order], key=key[order], alive=next_alive[order],
+    )
+    return film, queue, jnp.sum(next_alive, dtype=jnp.int32), rays_cast
+
+
+@jax.jit
+def commit_remaining(film, queue: Queue):
+    """Commit still-live rays' radiance (max-depth termination: they add
+    whatever emission/sky they already collected; A.8 'return black' for the
+    unfinished tail of the path). Dead rays were committed when they died."""
+    return film + jax.ops.segment_sum(
+        jnp.where(queue.alive[:, None], queue.rad, 0.0),
+        queue.pix,
+        num_segments=film.shape[0],
+    )
+
+
+def _bucket(n: int) -> int:
+    b = MIN_BUCKET
+    while b < n:
+        b <<= 1
+    return b
+
+
+def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
+                rr_start) -> tuple[jnp.ndarray, int]:
+    """Host-level bounce loop over one ray chunk. film: (npix,3) device
+    array. Returns (film', rays_cast)."""
+    total_rays = 0
+    n = queue.o.shape[0]
+    for bounce in range(max_depth):
+        film, queue, live, cast = step(
+            scene, film, queue, jnp.int32(bounce), rr_start
+        )
+        total_rays += int(cast)
+        live = int(live)
+        if live == 0:
+            return film, total_rays
+        b = _bucket(live)
+        if b < n:
+            queue = Queue(*(x[:b] for x in queue))
+            n = b
+    film = commit_remaining(film, queue)
+    return film, total_rays
+
+
+def make_queue(o, d, pix, keys) -> Queue:
+    n = o.shape[0]
+    return Queue(
+        o=o, d=d,
+        atten=jnp.ones((n, 3), jnp.float32),
+        rad=jnp.zeros((n, 3), jnp.float32),
+        pix=pix.astype(jnp.int32),
+        key=keys,
+        alive=jnp.ones(n, bool),
+    )
