@@ -1,0 +1,68 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Workload: the BASELINE config-3 family (BVH-accelerated bunny-class mesh,
+81,920 triangles, 720p) in megakernel mode on the local accelerator.
+Protocol: build + compile warmup (1 sample), then time a fixed number of
+steady-state samples with block_until_ready.
+
+Metric: Mrays/sec/chip (BASELINE.json north star: >= 100).
+vs_baseline: measured value / 100 (the north-star target; the reference
+publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt import config, render
+
+    cfg = config.RenderConfig(
+        width=1280, height=720, spp=128, scene="blob", mesh_subdiv=6,
+        mode="mega", max_depth=8, seed=0,
+    )
+    scene, cam = config.build_scene(cfg)
+    scene = scene.device()
+
+    # warmup: compiles the batch program (1 sample over the full frame)
+    film, _ = render.render_samples(cfg, scene, cam, 0, 1)
+    jax.block_until_ready(film)
+
+    # steady state: time a fixed sample budget
+    bench_spp = 4
+    t0 = time.perf_counter()
+    film = jnp.zeros_like(film)
+    film, rays = render.render_samples(cfg, scene, cam, 1, 1 + bench_spp,
+                                       film)
+    jax.block_until_ready(film)
+    wall = time.perf_counter() - t0
+
+    mrays = rays / wall / 1e6
+    n_chips = 1  # single-chip benchmark (this host has one TPU)
+    value = mrays / n_chips
+    print(json.dumps({
+        "metric": "mrays_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(value / 100.0, 4),
+        "detail": {
+            "scene": "blob-81920tris",
+            "resolution": "1280x720",
+            "bench_spp": bench_spp,
+            "rays": int(rays),
+            "wall_s": round(wall, 3),
+            "spp_per_s_1080p_equiv": round(
+                (bench_spp / wall) * (1280 * 720) / (1920 * 1080), 4
+            ),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Multi-chip sharding correctness on the fake 8-device CPU mesh
+(SURVEY.md §4 Distributed row): sharded render must match the 1-device
+render at RMSE ~ float-summation noise, for both partitionings."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpurt import config, film as film_mod, mesh as mesh_mod, render
+
+CFG = config.RenderConfig(width=48, height=32, spp=8, max_depth=6,
+                          scene="spheres_plane", mode="mega", seed=4)
+
+
+@pytest.fixture(scope="module")
+def sp():
+    return config.build_scene(CFG)
+
+
+@pytest.fixture(scope="module")
+def single(sp):
+    scene, cam = sp
+    f, s = render.render(CFG, scene, cam)
+    return f, s
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8  # conftest forces the fake CPU mesh
+
+
+def test_tiles_sharded_matches_single(sp, single):
+    scene, cam = sp
+    f1, s1 = single
+    mesh = mesh_mod.make_mesh(8)
+    f8, s8 = mesh_mod.render_sharded(CFG.replace(shard="tiles"), scene, cam,
+                                     mesh)
+    assert s8["devices"] == 8
+    assert s8["rays"] == s1["rays"]  # same RNG -> same paths, shard-invariant
+    assert film_mod.rmse(f1, f8) < 1e-6
+
+
+def test_spp_sharded_matches_single(sp, single):
+    scene, cam = sp
+    f1, s1 = single
+    mesh = mesh_mod.make_mesh(8)
+    f8, s8 = mesh_mod.render_sharded(CFG.replace(shard="spp"), scene, cam,
+                                     mesh)
+    assert s8["rays"] == s1["rays"]
+    assert film_mod.rmse(f1, f8) < 1e-6
+
+
+def test_spp_sharding_rejects_indivisible(sp):
+    scene, cam = sp
+    mesh = mesh_mod.make_mesh(8)
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_mod.render_sharded(CFG.replace(shard="spp", spp=9), scene, cam,
+                                mesh)
+
+
+def test_tiles_wavefront_sharded(sp, single):
+    scene, cam = sp
+    f1, _ = single
+    mesh = mesh_mod.make_mesh(8)
+    f8, _ = mesh_mod.render_sharded(
+        CFG.replace(shard="tiles", mode="wavefront"), scene, cam, mesh
+    )
+    assert film_mod.rmse(f1, f8) < 1e-6
+
+
+def test_nonmultiple_pixel_count(sp):
+    """npix not divisible by ndev exercises the pad path."""
+    scene_cam = config.build_scene(CFG.replace(width=45, height=31))
+    cfg = CFG.replace(width=45, height=31, shard="tiles")
+    mesh = mesh_mod.make_mesh(8)   # 1395 pixels % 8 != 0
+    f8, _ = mesh_mod.render_sharded(cfg, *scene_cam, mesh)
+    f1, _ = render.render(cfg.replace(shard="none"), *scene_cam)
+    assert film_mod.rmse(f1, f8) < 1e-6
+
+
+def test_one_device_mesh_degenerate(sp, single):
+    scene, cam = sp
+    f1, _ = single
+    mesh = mesh_mod.make_mesh(1)
+    fm, sm = mesh_mod.render_sharded(CFG.replace(shard="tiles"), scene, cam,
+                                     mesh)
+    assert sm["devices"] == 1
+    assert film_mod.rmse(f1, fm) < 1e-7

@@ -140,6 +140,142 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
     )
 
 
+PACKET_LEAF_N = 16
+
+
+class PacketBVH(NamedTuple):
+    """Gather-minimal layout for packet traversal (trace.packet_nearest_tri).
+
+    Measured on this TPU, an XLA gather costs ~3-8 ns per *row* nearly
+    independent of row width, so the layout packs everything a traversal
+    step needs into ONE row per visit:
+
+      nodes: (8*M, 8) f32 — EIGHT direction-ordered DFS layouts of the
+        same M-node tree, one per ray-direction octant, concatenated.
+        Layout o emits, at every inner node, the child nearer along the
+        octant's signs FIRST, so a packet traversing with its majority
+        octant's layout finds close hits early and the shrinking t window
+        prunes the rest (the classic ordered-traversal win, which plain
+        skip-link DFS forfeits). Row = [lo.xyz, hi.xyz, skip_bits,
+        meta_bits]; skip is an ABSOLUTE index into the concatenated array
+        (-1 terminates), meta is 0 for inner nodes and (leaf_row << 1) | 1
+        for leaves (leaf rows shared by all layouts).
+      leaves: (L, PACKET_LEAF_N * 10) f32 — per leaf row, 16 triangles of
+        [v0.xyz, e1.xyz, e2.xyz, mat_bits], padded with degenerate
+        triangles, so one 640-byte row gather yields the whole leaf.
+      n_nodes: M (per-layout node count; packet base = octant * M).
+    """
+
+    nodes: np.ndarray    # (8*M, 8) f32
+    leaves: np.ndarray   # (L, PACKET_LEAF_N*10) f32
+    n_nodes: int
+
+
+def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
+    """Build the 8-octant packet layout from one median-split topology."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    mat = np.asarray(mat, np.int32)
+    ntri = v0.shape[0]
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tlo + thi) * 0.5
+
+    # --- topology (one recursive build) -----------------------------------
+    # per node: bbox, split axis, children ids (-1 for leaf), leaf run
+    n_lo: list = []
+    n_hi: list = []
+    n_axis: list = []
+    n_kids: list = []
+    leaf_runs: list = []
+    n_leaf: list = []   # leaf row id or -1
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+
+    def rec(idx: np.ndarray) -> int:
+        nid = len(n_lo)
+        n_lo.append(tlo[idx].min(axis=0))
+        n_hi.append(thi[idx].max(axis=0))
+        n_axis.append(0)
+        n_kids.append((-1, -1))
+        n_leaf.append(-1)
+        if idx.size <= leaf_n:
+            n_leaf[nid] = len(leaf_runs)
+            leaf_runs.append(idx)
+        else:
+            ext = centroid[idx].max(axis=0) - centroid[idx].min(axis=0)
+            axis = int(np.argmax(ext))
+            n_axis[nid] = axis
+            order = idx[np.argsort(centroid[idx, axis], kind="stable")]
+            half = idx.size // 2
+            left = rec(order[:half])    # lower coordinates along axis
+            right = rec(order[half:])
+            n_kids[nid] = (left, right)
+        return nid
+
+    rec(np.arange(ntri, dtype=np.int64))
+    sys.setrecursionlimit(old)
+    m = len(n_lo)
+
+    # --- 8 direction-ordered DFS emissions (iterative) --------------------
+    lo_arr = np.stack(n_lo)
+    hi_arr = np.stack(n_hi)
+    nodes = np.zeros((8 * m, 8), np.float32)
+    for octant in range(8):
+        neg = [(octant >> k) & 1 for k in range(3)]  # 1 = direction < 0
+        base = octant * m
+        # emit DFS: positions within this layout
+        pos = np.empty(m, np.int64)
+        order_nodes = np.empty(m, np.int64)
+        cursor = 0
+        stack = [0]
+        while stack:
+            nid = stack.pop()
+            pos[nid] = cursor
+            order_nodes[cursor] = nid
+            cursor += 1
+            l, r = n_kids[nid]
+            if l >= 0:
+                near, far = (r, l) if neg[n_axis[nid]] else (l, r)
+                stack.append(far)   # popped second
+                stack.append(near)  # popped first -> emitted at pos+1
+        # subtree sizes via DFS property: a node's subtree occupies
+        # [pos, pos+size); skip = pos + size (or -1 past the end)
+        size = np.ones(m, np.int64)
+        for c in range(m - 1, -1, -1):  # reverse emission order
+            nid = order_nodes[c]
+            l, r = n_kids[nid]
+            if l >= 0:
+                size[nid] = 1 + size[l] + size[r]
+        # skip for node nid = pos[nid] + size[nid]
+        blk = nodes[base : base + m]
+        blk[pos, 0:3] = lo_arr
+        blk[pos, 3:6] = hi_arr
+        sk = pos + size
+        sk_abs = np.where(sk >= m, -1, sk + base).astype(np.int32)
+        blk[pos, 6] = sk_abs.view(np.float32)
+        meta = np.where(
+            np.asarray(n_leaf) >= 0,
+            ((np.maximum(np.asarray(n_leaf), 0)) << 1) | 1,
+            0,
+        ).astype(np.int32)
+        blk[pos, 7] = meta.view(np.float32)
+
+    # --- packed leaf rows ---------------------------------------------------
+    n_rows = len(leaf_runs)
+    leaves = np.zeros((n_rows, leaf_n, 10), np.float32)
+    for row, run in enumerate(leaf_runs):
+        k = run.size
+        leaves[row, :k, 0:3] = v0[run]
+        leaves[row, :k, 3:6] = v1[run] - v0[run]
+        leaves[row, :k, 6:9] = v2[run] - v0[run]
+        leaves[row, :k, 9] = mat[run].view(np.float32)
+    return PacketBVH(nodes=nodes, leaves=leaves.reshape(n_rows, leaf_n * 10),
+                     n_nodes=m)
+
+
 def validate(b: BVH) -> None:
     """Structural invariants, used by tests (SURVEY.md §4 'BVH' row)."""
     m = b.lo.shape[0]

@@ -24,6 +24,36 @@ from . import rng, trace, wavefront
 from .config import RenderConfig, build_scene
 from .scene import Scene
 
+_TILE_W, _TILE_H = 16, 8  # one 128-ray traversal packet = one 16x8 tile
+
+
+def tile_order(width: int, height: int) -> np.ndarray:
+    """Pixel ids permuted so each run of 128 is (mostly) one 16x8 image
+    tile. Traversal packets (trace.PACKET_R) are built from consecutive
+    rays, so tile order makes primary packets spatially square — and keeps
+    bounce-ray origins within a small world-space footprint — instead of
+    the 128x1 scanline strips row-major order would give. The pixel id
+    VALUES are unchanged (RNG streams and film indexing are id-keyed), so
+    the image is identical; only the batching order changes."""
+    xs = np.arange(width)
+    ys = np.arange(height)
+    gx, gy = np.meshgrid(xs, ys)                 # (H, W)
+    key = (
+        (gy // _TILE_H).astype(np.int64) * ((width + _TILE_W - 1) // _TILE_W)
+        + (gx // _TILE_W)
+    ) * (_TILE_W * _TILE_H) + (gy % _TILE_H) * _TILE_W + (gx % _TILE_W)
+    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+
+
+_tile_order_cache: dict = {}
+
+
+def _tile_order_cached(width: int, height: int) -> np.ndarray:
+    k = (width, height)
+    if k not in _tile_order_cache:
+        _tile_order_cache[k] = tile_order(width, height)
+    return _tile_order_cache[k]
+
 
 @partial(jax.jit, static_argnames=("mode", "max_depth", "rr_start"))
 def _trace_batch(scene: Scene, cam, pixel_ids, sample_ids, seed,
@@ -60,32 +90,33 @@ def _raygen(scene: Scene, cam, pixel_ids, sample_ids, seed,
     return wavefront.make_queue(o, d, pix, keys)
 
 
-def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
-    """Render a full frame on the local device.
+def render_samples(cfg: RenderConfig, scene: Scene, cam,
+                   sample_start: int, sample_stop: int,
+                   film_flat=None):
+    """Accumulate the radiance *sum* of samples [sample_start, sample_stop)
+    into film_flat (npix, 3). Returns (film_flat, rays_cast).
 
-    Returns (film (H,W,3) linear f32 ndarray, stats dict). The film is the
-    per-pixel *mean* over cfg.spp samples (A.9).
+    This is the checkpointable unit: because RNG streams are derived from
+    (pixel, sample) counters, rendering samples in any grouping — one call,
+    many calls, across a resume — produces the same sum (SURVEY.md §5
+    "Checkpoint / resume").
     """
-    if scene is None or cam is None:
-        scene, cam = build_scene(cfg)
-    scene = scene.device()
-
     npix = cfg.width * cfg.height
     seed = jnp.uint32(cfg.seed)
+    if film_flat is None:
+        film_flat = jnp.zeros((npix, 3), jnp.float32)
 
     pixel_block = min(npix, cfg.ray_batch)
     spp_chunk = cfg.spp_chunk or max(1, cfg.ray_batch // pixel_block)
-    spp_chunk = min(spp_chunk, cfg.spp)
+    spp_chunk = min(spp_chunk, max(1, sample_stop - sample_start))
+    order = _tile_order_cached(cfg.width, cfg.height)
 
-    t0 = time.perf_counter()
     total_rays = 0
-    film_flat = jnp.zeros((npix, 3), jnp.float32)
-
     for p0 in range(0, npix, pixel_block):
         p1 = min(p0 + pixel_block, npix)
-        pixel_ids = jnp.arange(p0, p1, dtype=jnp.int32)
-        for s0 in range(0, cfg.spp, spp_chunk):
-            s1 = min(s0 + spp_chunk, cfg.spp)
+        pixel_ids = jnp.asarray(order[p0:p1])
+        for s0 in range(sample_start, sample_stop, spp_chunk):
+            s1 = min(s0 + spp_chunk, sample_stop)
             sample_ids = jnp.arange(s0, s1, dtype=jnp.int32)
             if cfg.mode == "wavefront":
                 queue = _raygen(scene, cam, pixel_ids, sample_ids, seed,
@@ -100,9 +131,23 @@ def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
                     cfg.width, cfg.height, cfg.mode, cfg.max_depth,
                     cfg.rr_start,
                 )
-                film_flat = film_flat.at[p0:p1].add(rad)
+                film_flat = film_flat.at[pixel_ids].add(rad)
                 total_rays += int(nrays)
+    return film_flat, total_rays
 
+
+def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
+    """Render a full frame on the local device.
+
+    Returns (film (H,W,3) linear f32 ndarray, stats dict). The film is the
+    per-pixel *mean* over cfg.spp samples (A.9).
+    """
+    if scene is None or cam is None:
+        scene, cam = build_scene(cfg)
+    scene = scene.device()
+
+    t0 = time.perf_counter()
+    film_flat, total_rays = render_samples(cfg, scene, cam, 0, cfg.spp)
     film_flat = film_flat / cfg.spp
     film = np.asarray(jax.block_until_ready(film_flat)).reshape(
         cfg.height, cfg.width, 3
@@ -114,7 +159,7 @@ def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
         "wall_s": wall,
         "mrays_per_s": total_rays / wall / 1e6 if wall > 0 else 0.0,
         "spp_per_s": cfg.spp / wall if wall > 0 else 0.0,
-        "pixels": npix,
+        "pixels": cfg.width * cfg.height,
         "spp": cfg.spp,
     }
     return film, stats

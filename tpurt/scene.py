@@ -60,6 +60,9 @@ class Scene(NamedTuple):
     bvh_skip: Optional[np.ndarray]   # (B,) i32
     bvh_first: Optional[np.ndarray]  # (B,) i32
     bvh_count: Optional[np.ndarray]  # (B,) i32
+    # optional packet-traversal layout (bvh.PacketBVH; the device fast path)
+    pk_nodes: Optional[np.ndarray]   # (M,8) f32
+    pk_leaves: Optional[np.ndarray]  # (L,160) f32
 
     @property
     def has_bvh(self) -> bool:
@@ -165,7 +168,10 @@ class SceneBuilder:
             use_bvh = False
 
         blo = bhi = bskip = bfirst = bcount = None
+        pk_nodes = pk_leaves = None
         if use_bvh:
+            pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
+            pk_nodes, pk_leaves = pk.nodes, pk.leaves
             tree = bvh_mod.build(tv0, tv1, tv2, tm)
             # the BVH's leaf-padded soup replaces the raw soup so brute and
             # BVH paths intersect identical triangle tables
@@ -195,6 +201,7 @@ class SceneBuilder:
             sky_a=self.sky_a, sky_b=self.sky_b,
             bvh_lo=blo, bvh_hi=bhi, bvh_skip=bskip,
             bvh_first=bfirst, bvh_count=bcount,
+            pk_nodes=pk_nodes, pk_leaves=pk_leaves,
         )
 
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import materials, rng, trace
+from .geometry import INF
 from .scene import Scene
 
 MIN_BUCKET = 1024
@@ -55,7 +56,7 @@ def step(scene: Scene, film, queue: Queue, bounce, rr_start):
     o, d, atten, rad, pix, key, alive = queue
     rays_cast = jnp.sum(alive, dtype=jnp.int32)
 
-    h = trace.intersect(scene, o, d)
+    h = trace.intersect(scene, o, d, t_cap=jnp.where(alive, INF, 0.0))
     live_hit = alive & h.ok
     live_miss = alive & ~h.ok
 
@@ -92,10 +93,21 @@ def step(scene: Scene, film, queue: Queue, bounce, rr_start):
         jnp.where(died[:, None], rad, 0.0), pix, num_segments=film.shape[0]
     )
 
-    # Compaction: live rays first, grouped by material of the *next* bounce's
-    # surface (unknown) — we sort by the material just scattered from, which
-    # correlates strongly with next-hit coherence (specular chains etc.).
-    sort_key = jnp.where(next_alive, h.mat, jnp.int32(0x7FFFFFFF))
+    # Compaction: live rays first, grouped by direction octant then by the
+    # material just scattered from. Octant-major grouping is what keeps the
+    # 128-ray traversal packets coherent after diffuse bounces (the BVH
+    # packet walk degrades toward the union of member paths otherwise);
+    # material-minor preserves the BASELINE "material/liveness sort".
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    sort_key = jnp.where(
+        next_alive,
+        octant * 8 + jnp.minimum(h.mat, 7),
+        jnp.int32(0x7FFFFFFF),
+    )
     order = jnp.argsort(sort_key, stable=True)
     queue = Queue(
         o=o[order], d=d[order], atten=atten[order], rad=rad[order],
@@ -143,6 +155,33 @@ def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
             n = b
     film = commit_remaining(film, queue)
     return film, total_rays
+
+
+def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
+    """Device-resident wavefront loop with a fixed-capacity queue.
+
+    Used where the host-level shrinking-bucket loop can't run — inside
+    ``shard_map`` (SPMD requires identical shapes on every chip) — so the
+    queue keeps its full size and dead lanes stay masked; the per-bounce
+    compaction sort still runs for memory-coherence of the BVH gathers.
+    Semantically identical to trace_chunk (same RNG, same per-ray math).
+
+    Returns (film', rays_cast).
+    """
+
+    def cond(c):
+        bounce, _, q, _ = c
+        return (bounce < max_depth) & jnp.any(q.alive)
+
+    def body(c):
+        bounce, film, q, nrays = c
+        film, q, _, cast = step(scene, film, q, bounce, rr_start)
+        return bounce + 1, film, q, nrays + cast
+
+    init = (jnp.int32(0), film, queue, jnp.int32(0))
+    _, film, queue, nrays = jax.lax.while_loop(cond, body, init)
+    film = commit_remaining(film, queue)
+    return film, nrays
 
 
 def make_queue(o, d, pix, keys) -> Queue:
