@@ -31,7 +31,8 @@ def main() -> None:
 
     # warmup: compiles the batch program (1 sample over the full frame)
     film, _ = render.render_samples(cfg, scene, cam, 0, 1)
-    jax.block_until_ready(film)
+    float(jnp.sum(film))  # host fetch — block_until_ready is unreliable
+    # through this image's axon relay (measured), a fetch always syncs
 
     # steady state: time a fixed sample budget
     bench_spp = 4
@@ -39,7 +40,7 @@ def main() -> None:
     film = jnp.zeros_like(film)
     film, rays = render.render_samples(cfg, scene, cam, 1, 1 + bench_spp,
                                        film)
-    jax.block_until_ready(film)
+    float(jnp.sum(film))
     wall = time.perf_counter() - t0
 
     mrays = rays / wall / 1e6

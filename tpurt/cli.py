@@ -68,7 +68,12 @@ def main(argv=None) -> int:
     }
     cfg = cfg.replace(**{k: v for k, v in overrides.items() if v is not None})
 
-    scene, cam = config_mod.build_scene(cfg)
+    from . import metrics
+
+    with metrics.Phase("scene_build") as ph:
+        scene, cam = config_mod.build_scene(cfg)
+    metrics.log_event("scene", build_s=round(ph.seconds, 3),
+                      **metrics.scene_stats(scene))
 
     t0 = time.perf_counter()
     if args.oracle:

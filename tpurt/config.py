@@ -80,8 +80,10 @@ PRESETS: dict[str, RenderConfig] = {
         max_depth=16, rr_start=3,
     ),
     # 5. multi-chip tile-sharded, ICI allreduce accumulation, 4K, 1024 spp
+    # (config names no tracer mode; megakernel measures fastest in SPMD,
+    # where the wavefront's shrinking queue can't run — see mesh.py)
     "c5-multichip": RenderConfig(
-        width=3840, height=2160, spp=1024, scene="blob", mode="wavefront",
+        width=3840, height=2160, spp=1024, scene="blob", mode="mega",
         max_depth=16, rr_start=3, shard="tiles",
     ),
 }

@@ -172,8 +172,13 @@ def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
                 film_flat = film_flat.at[p0:p1].add(rad)
                 total_rays += int(nrays)
     else:  # tiles
+        from . import render as render_mod
+
         npix_pad = -(-npix // ndev) * ndev
-        gpix = np.minimum(np.arange(npix_pad), npix - 1).astype(np.int32)
+        order = render_mod._tile_order_cached(cfg.width, cfg.height)
+        gpix = np.concatenate(
+            [order, np.full(npix_pad - npix, order[-1], np.int32)]
+        )
         gpix = jax.device_put(gpix, sharded)
         block = npix_pad // ndev
         spp_chunk = max(1, cfg.ray_batch // max(1, block))
@@ -190,24 +195,18 @@ def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
             )
             film_pad = film_pad + rad
             total_rays += int(nrays)
-        film_flat = film_pad[:npix]
+        # rows of film_pad follow the tile-order enumeration; un-permute
+        film_flat = jnp.zeros((npix, 3), jnp.float32).at[order].set(
+            film_pad[:npix]
+        )
+
+    from . import metrics
 
     film_flat = film_flat / cfg.spp
     film = np.asarray(jax.block_until_ready(film_flat)).reshape(
         cfg.height, cfg.width, 3
     )
     wall = time.perf_counter() - t0
-    stats = {
-        "rays": int(total_rays),
-        "wall_s": wall,
-        "mrays_per_s": total_rays / wall / 1e6 if wall > 0 else 0.0,
-        "mrays_per_s_per_chip": (
-            total_rays / wall / 1e6 / ndev if wall > 0 else 0.0
-        ),
-        "spp_per_s": cfg.spp / wall if wall > 0 else 0.0,
-        "pixels": npix,
-        "spp": cfg.spp,
-        "devices": ndev,
-        "shard": cfg.shard,
-    }
+    stats = metrics.build_stats(total_rays, wall, cfg.width, cfg.height,
+                                cfg.spp, devices=ndev, shard=cfg.shard)
     return film, stats

@@ -92,7 +92,7 @@ def _raygen(scene: Scene, cam, pixel_ids, sample_ids, seed,
 
 def render_samples(cfg: RenderConfig, scene: Scene, cam,
                    sample_start: int, sample_stop: int,
-                   film_flat=None):
+                   film_flat=None, stats_sink: Optional[dict] = None):
     """Accumulate the radiance *sum* of samples [sample_start, sample_stop)
     into film_flat (npix, 3). Returns (film_flat, rays_cast).
 
@@ -121,8 +121,13 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
             if cfg.mode == "wavefront":
                 queue = _raygen(scene, cam, pixel_ids, sample_ids, seed,
                                 cfg.width, cfg.height)
+                live_hist = None
+                if stats_sink is not None:
+                    live_hist = stats_sink.setdefault("live_history", [])
+                    stats_sink["queue_capacity"] = int(queue.o.shape[0])
                 film_flat, nrays = wavefront.trace_chunk(
-                    scene, film_flat, queue, cfg.max_depth, cfg.rr_start
+                    scene, film_flat, queue, cfg.max_depth, cfg.rr_start,
+                    live_hist,
                 )
                 total_rays += nrays
             else:
@@ -146,20 +151,22 @@ def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
         scene, cam = build_scene(cfg)
     scene = scene.device()
 
+    from . import metrics
+
+    sink: dict = {}
     t0 = time.perf_counter()
-    film_flat, total_rays = render_samples(cfg, scene, cam, 0, cfg.spp)
+    film_flat, total_rays = render_samples(cfg, scene, cam, 0, cfg.spp,
+                                           stats_sink=sink)
     film_flat = film_flat / cfg.spp
     film = np.asarray(jax.block_until_ready(film_flat)).reshape(
         cfg.height, cfg.width, 3
     )
     wall = time.perf_counter() - t0
 
-    stats = {
-        "rays": int(total_rays),
-        "wall_s": wall,
-        "mrays_per_s": total_rays / wall / 1e6 if wall > 0 else 0.0,
-        "spp_per_s": cfg.spp / wall if wall > 0 else 0.0,
-        "pixels": cfg.width * cfg.height,
-        "spp": cfg.spp,
-    }
+    stats = metrics.build_stats(total_rays, wall, cfg.width, cfg.height,
+                                cfg.spp)
+    if "live_history" in sink:
+        stats["occupancy"] = metrics.occupancy(
+            sink["live_history"], sink.get("queue_capacity", 1)
+        )
     return film, stats

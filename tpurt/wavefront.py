@@ -136,9 +136,12 @@ def _bucket(n: int) -> int:
 
 
 def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
-                rr_start) -> tuple[jnp.ndarray, int]:
+                rr_start, live_history: list | None = None
+                ) -> tuple[jnp.ndarray, int]:
     """Host-level bounce loop over one ray chunk. film: (npix,3) device
-    array. Returns (film', rays_cast)."""
+    array. Returns (film', rays_cast). live_history (optional list) gets
+    the live-ray count appended per bounce — the wavefront occupancy
+    metric (SURVEY.md §5)."""
     total_rays = 0
     n = queue.o.shape[0]
     for bounce in range(max_depth):
@@ -147,6 +150,8 @@ def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
         )
         total_rays += int(cast)
         live = int(live)
+        if live_history is not None:
+            live_history.append(live)
         if live == 0:
             return film, total_rays
         b = _bucket(live)
