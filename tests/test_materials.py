@@ -39,8 +39,8 @@ def test_total_internal_reflection():
     # sin > 1/1.5 -> must reflect no matter the draw
     d = np.array([[0.9, -np.sqrt(1 - 0.81), 0.0]], np.float32)
     n = np.array([[0.0, 1.0, 0.0]], np.float32)
-    draws = np.zeros((1, 8), np.float32)
-    draws[0, 3] = 0.999999  # would choose refract if allowed
+    draws = np.zeros((8, 1), np.float32)
+    draws[3, 0] = 0.999999  # would choose refract if allowed
     new_d, atten, alive = _scatter(d, n, [False], DIELECTRIC, draws)
     got = np.asarray(new_d)[0]
     expected = np.asarray(linalg.reflect(jnp.asarray(d), jnp.asarray(n)))[0]
@@ -52,13 +52,13 @@ def test_schlick_at_normal_incidence():
     # head-on into glass: reflectance = r0 = ((1-1/1.5)/(1+1/1.5))^2 = 0.04
     d = np.array([[0.0, -1.0, 0.0]], np.float32)
     n = np.array([[0.0, 1.0, 0.0]], np.float32)
-    lo = np.zeros((1, 8), np.float32)
-    lo[0, 3] = 0.05  # draw above r0 -> refract
+    lo = np.zeros((8, 1), np.float32)
+    lo[3, 0] = 0.05  # draw above r0 -> refract
     new_d, _, _ = _scatter(d, n, [True], DIELECTRIC, lo)
     assert np.asarray(new_d)[0, 1] < 0  # transmitted (still going down)
 
-    hi = np.zeros((1, 8), np.float32)
-    hi[0, 3] = 0.03  # draw below r0 -> reflect
+    hi = np.zeros((8, 1), np.float32)
+    hi[3, 0] = 0.03  # draw below r0 -> reflect
     new_d, _, _ = _scatter(d, n, [True], DIELECTRIC, hi)
     assert np.asarray(new_d)[0, 1] > 0  # reflected (going up)
 
@@ -72,8 +72,8 @@ def test_metal_absorbs_below_horizon():
     # *world* z; normal is +y so use normal (0,0,1) instead for clarity.
     n2 = np.array([[0.0, 0.0, 1.0]], np.float32)
     d2 = np.array([[0.0, -1.0, 0.0]], np.float32)  # grazing along the surface
-    draws = np.zeros((1, 8), np.float32)  # unit=(0,0,-1), cbrt(0)=0 though
-    draws[0, 2] = 1.0  # full radius
+    draws = np.zeros((8, 1), np.float32)  # unit=(0,0,-1), cbrt(0)=0 though
+    draws[2, 0] = 1.0  # full radius
     _, _, alive = _scatter(d2, n2, [True], METAL, draws, fuzz=10.0)
     assert not bool(alive[0])  # reflected ray pushed below the surface
 
@@ -81,12 +81,12 @@ def test_metal_absorbs_below_horizon():
 def test_lambertian_degenerate_fallback():
     n = np.array([[0.0, 1.0, 0.0]], np.float32)
     d = np.array([[0.0, -1.0, 0.0]], np.float32)
-    draws = np.zeros((1, 8), np.float32)
+    draws = np.zeros((8, 1), np.float32)
     draws[0, 0] = 0.0  # z = -1 -> unit = (0,0,-1)... not anti-normal
     # craft anti-normal: need unit == -n == (0,-1,0): z=0 -> u0=0.5,
     # phi=3pi/2 -> u1=0.75
     draws[0, 0] = 0.5
-    draws[0, 1] = 0.75
+    draws[1, 0] = 0.75
     new_d, _, alive = _scatter(d, n, [True], LAMBERTIAN, draws)
     got = np.asarray(new_d)[0]
     # fallback to n, normalized
@@ -97,7 +97,7 @@ def test_lambertian_degenerate_fallback():
 def test_emissive_terminates():
     d = np.array([[0.0, -1.0, 0.0]], np.float32)
     n = np.array([[0.0, 1.0, 0.0]], np.float32)
-    draws = np.full((1, 8), 0.5, np.float32)
+    draws = np.full((8, 1), 0.5, np.float32)
     _, atten, alive = _scatter(d, n, [True], EMISSIVE, draws)
     assert not bool(alive[0])
     assert np.allclose(np.asarray(atten), 0.0)

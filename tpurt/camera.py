@@ -51,11 +51,11 @@ def make_camera(lookfrom, lookat, vup, vfov_deg: float, aspect: float) -> Camera
 
 
 def generate_rays(cam: Camera, width: int, height: int, pixel_ids, jitter):
-    """pixel_ids (N,) int32, jitter (N,2) in [0,1) -> (origins, unit dirs)."""
+    """pixel_ids (N,) int32, jitter (2, N) in [0,1) -> (origins, unit dirs)."""
     x = (pixel_ids % width).astype(jnp.float32)
     y = (pixel_ids // width).astype(jnp.float32)
-    s = (x + jitter[:, 0]) / width
-    t = (height - (y + jitter[:, 1])) / height
+    s = (x + jitter[0]) / width
+    t = (height - (y + jitter[1])) / height
     d = (
         cam.lower_left[None, :]
         + s[:, None] * cam.horizontal[None, :]

@@ -42,8 +42,8 @@ def _gen_rays(cam, width, height, pixel_ids, jitter):
     vertical = np.asarray(cam.vertical, F)
     x = (pixel_ids % width).astype(F)
     y = (pixel_ids // width).astype(F)
-    s = (x + jitter[:, 0]) / F(width)
-    t = (F(height) - (y + jitter[:, 1])) / F(height)
+    s = (x + jitter[0]) / F(width)
+    t = (F(height) - (y + jitter[1])) / F(height)
     d = (lower_left[None] + s[:, None] * horizontal[None]
          + t[:, None] * vertical[None] - origin[None])
     o = np.broadcast_to(origin[None], d.shape).copy()
@@ -193,8 +193,8 @@ def _scatter(sc: Scene, d, n, front, mat, draws):
     fuzz = sc.mat_fuzz[mat]
     ior = sc.mat_ior[mat]
 
-    unit = rng.np_unit_vector_from(draws[:, 0], draws[:, 1]).astype(F)
-    in_sph = unit * np.cbrt(draws[:, 2]).astype(F)[:, None]
+    unit = rng.np_unit_vector_from(draws[0], draws[1]).astype(F)
+    in_sph = unit * np.cbrt(draws[2]).astype(F)[:, None]
 
     lam = n + unit
     degen = (lam * lam).sum(-1) < 1e-12
@@ -210,7 +210,7 @@ def _scatter(sc: Scene, d, n, front, mat, draws):
     cannot = eta * sin_t > 1
     r0 = ((1 - eta) / (1 + eta)) ** 2
     refl_p = r0 + (1 - r0) * (1 - cos_t) ** 5
-    choose_refl = cannot | (refl_p > draws[:, 3])
+    choose_refl = cannot | (refl_p > draws[3])
     perp = eta[:, None] * (d + cos_t[:, None] * n)
     par = -np.sqrt(np.abs(1 - (perp * perp).sum(-1)))[:, None] * n
     die = np.where(choose_refl[:, None], refl, perp + par)
@@ -277,7 +277,7 @@ def render(cfg: RenderConfig, scene: Scene, cam) -> tuple[np.ndarray, dict]:
             if cfg.rr_start is not None:
                 p_surv = np.clip(atten.max(-1), RR_CLAMP_LO, RR_CLAMP_HI)
                 rr_on = (bounce >= cfg.rr_start) & alive
-                survive = draws[:, 4] < p_surv
+                survive = draws[4] < p_surv
                 atten = np.where((rr_on & survive)[:, None],
                                  atten / p_surv[:, None], atten)
                 alive = alive & (~rr_on | survive)

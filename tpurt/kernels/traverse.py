@@ -84,7 +84,7 @@ def bvh_nearest_tri(scene: Scene, o, d, t_max):
 
 PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 USE_OCTANT_LAYOUTS = False  # see packet_nearest_tri; wins only with resort
-ADV_STEPS = 16  # fixed node steps per traversal round (tuned on TPU v5e)
+ADV_STEPS = 4  # fixed node steps per traversal round (tuned on TPU v5e)
 
 
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):

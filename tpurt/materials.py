@@ -31,12 +31,13 @@ def scatter(d, n, front, mtype, albedo, fuzz, ior, draws):
 
     d: (N,3) incoming unit dirs; n: (N,3) front-facing unit normals;
     front: (N,) bool (ray hit the outward side); mtype/albedo/fuzz/ior:
-    per-ray gathered material params; draws: (N, NDRAWS) uniforms.
+    per-ray gathered material params; draws: (NDRAWS, N) uniforms.
 
     Returns (new_dir (N,3) unit, attenuation (N,3), alive (N,) bool).
     """
-    u0, u1, u2, u3 = draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3]
-    unit = rng.unit_vector_from(u0, u1)                 # shared direction draw
+    u0, u1, u2, u3 = draws[0], draws[1], draws[2], draws[3]
+    ux, uy, uz = rng.unit_vector_from(u0, u1)           # shared direction draw
+    unit = jnp.stack([ux, uy, uz], axis=-1)
     in_sphere = unit * jnp.cbrt(u2)[:, None]
 
     # lambertian

@@ -56,7 +56,7 @@ def _device_trace(scene: Scene, cam, gpix, sample_ids, seed,
     c = sample_ids.shape[0]
     pix = jnp.tile(gpix, c)
     smp = jnp.repeat(sample_ids, b)
-    keys = rng.base_keys(seed, pix, smp)
+    keys = rng.make_streams(seed, pix, smp)
     jit2 = rng.camera_draws(keys)
     o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
 

@@ -66,7 +66,7 @@ def _trace_batch(scene: Scene, cam, pixel_ids, sample_ids, seed,
     c = sample_ids.shape[0]
     pix = jnp.tile(pixel_ids, c)                      # (B*C,) sample-major
     smp = jnp.repeat(sample_ids, b)
-    keys = rng.base_keys(seed, pix, smp)
+    keys = rng.make_streams(seed, pix, smp)
     jit2 = rng.camera_draws(keys)
     o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
 
@@ -84,7 +84,7 @@ def _raygen(scene: Scene, cam, pixel_ids, sample_ids, seed,
     c = sample_ids.shape[0]
     pix = jnp.tile(pixel_ids, c)
     smp = jnp.repeat(sample_ids, b)
-    keys = rng.base_keys(seed, pix, smp)
+    keys = rng.make_streams(seed, pix, smp)
     jit2 = rng.camera_draws(keys)
     o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
     return wavefront.make_queue(o, d, pix, keys)

@@ -207,7 +207,7 @@ def trace(scene: Scene, o, d, keys, max_depth: int,
             # A.8: from bounce >= rr_start survive with p = clamp(max(atten))
             p_surv = jnp.clip(jnp.max(atten, axis=-1), RR_CLAMP_LO, RR_CLAMP_HI)
             rr_on = (bounce >= rr_start) & alive
-            survive = draws[:, 4] < p_surv
+            survive = draws[4] < p_surv
             atten = jnp.where(
                 (rr_on & survive)[:, None], atten / p_surv[:, None], atten
             )
@@ -217,7 +217,7 @@ def trace(scene: Scene, o, d, keys, max_depth: int,
             key = ray_coherence_key(scene, o, d, alive)
             order = jnp.argsort(key, stable=True)
             o, d, atten, rad = o[order], d[order], atten[order], rad[order]
-            slot, alive, ks = slot[order], alive[order], ks[order]
+            slot, alive, ks = slot[order], alive[order], ks[:, order]
 
         return bounce + 1, o, d, atten, rad, slot, alive, ks, nrays
 

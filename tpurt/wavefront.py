@@ -42,16 +42,22 @@ class Queue(NamedTuple):
     atten: jnp.ndarray   # (N,3)
     rad: jnp.ndarray     # (N,3) radiance accumulated so far by this ray
     pix: jnp.ndarray     # (N,)  flat pixel id (film segment)
-    key: jnp.ndarray     # (N,2) threefry base key (uint32)
+    key: jnp.ndarray     # (3,N) threefry stream state [pixel, sample, seed]
     alive: jnp.ndarray   # (N,) bool
 
 
 @partial(jax.jit, static_argnames=("rr_start",))
-def step(scene: Scene, film, queue: Queue, bounce, rr_start):
+def step(scene: Scene, queue: Queue, bounce, rr_start):
     """One wavefront bounce pass: intersect -> emit/sky -> scatter -> RR ->
-    commit the radiance of rays that died -> compaction sort.
+    compaction sort.
 
-    Returns (film', sorted queue, live_count, rays_cast).
+    Radiance stays in the queue; it is committed to the film exactly once
+    per ray — when the ray's row is dropped by a shrink (trace_chunk) or at
+    the end (commit_remaining). Committing per-step was measured at
+    12-40 ms per segment_sum over the full frame, dominating wavefront
+    overhead.
+
+    Returns (sorted queue, live_count, rays_cast).
     """
     o, d, atten, rad, pix, key, alive = queue
     rays_cast = jnp.sum(alive, dtype=jnp.int32)
@@ -81,17 +87,10 @@ def step(scene: Scene, film, queue: Queue, bounce, rr_start):
         p_surv = jnp.clip(jnp.max(atten, axis=-1),
                           trace.RR_CLAMP_LO, trace.RR_CLAMP_HI)
         rr_on = (bounce >= rr_start) & next_alive
-        survive = draws[:, 4] < p_surv
+        survive = draws[4] < p_surv
         atten = jnp.where((rr_on & survive)[:, None],
                           atten / p_surv[:, None], atten)
         next_alive = next_alive & (~rr_on | survive)
-
-    # Rays that were alive entering this bounce and are now dead: their
-    # radiance is final — commit to the film (deterministic segment_sum).
-    died = alive & ~next_alive
-    film = film + jax.ops.segment_sum(
-        jnp.where(died[:, None], rad, 0.0), pix, num_segments=film.shape[0]
-    )
 
     # Compaction: live rays first, grouped by direction octant then by the
     # material just scattered from. Octant-major grouping is what keeps the
@@ -111,21 +110,25 @@ def step(scene: Scene, film, queue: Queue, bounce, rr_start):
     order = jnp.argsort(sort_key, stable=True)
     queue = Queue(
         o=o[order], d=d[order], atten=atten[order], rad=rad[order],
-        pix=pix[order], key=key[order], alive=next_alive[order],
+        pix=pix[order], key=key[:, order], alive=next_alive[order],
     )
-    return film, queue, jnp.sum(next_alive, dtype=jnp.int32), rays_cast
+    return queue, jnp.sum(next_alive, dtype=jnp.int32), rays_cast
 
 
 @jax.jit
 def commit_remaining(film, queue: Queue):
-    """Commit still-live rays' radiance (max-depth termination: they add
-    whatever emission/sky they already collected; A.8 'return black' for the
-    unfinished tail of the path). Dead rays were committed when they died."""
+    """Commit every row still in the queue: dead rows' radiance froze when
+    they died (all accumulation is live-masked), live rows' is final at
+    max-depth termination (A.8 'return black' for the unfinished tail)."""
     return film + jax.ops.segment_sum(
-        jnp.where(queue.alive[:, None], queue.rad, 0.0),
-        queue.pix,
-        num_segments=film.shape[0],
+        queue.rad, queue.pix, num_segments=film.shape[0]
     )
+
+
+@jax.jit
+def commit_rows(film, rad, pix):
+    """Commit the rows about to be dropped by a queue shrink."""
+    return film + jax.ops.segment_sum(rad, pix, num_segments=film.shape[0])
 
 
 def _bucket(n: int) -> int:
@@ -135,28 +138,56 @@ def _bucket(n: int) -> int:
     return b
 
 
+BOUNCES_PER_DISPATCH = 4
+
+
+@partial(jax.jit, static_argnames=("rr_start", "n_steps"))
+def multi_step(scene: Scene, queue: Queue, bounce0, rr_start,
+               n_steps: int = BOUNCES_PER_DISPATCH):
+    """n_steps bounce passes in ONE device dispatch. The host round-trip
+    per dispatch (live-count fetch through this image's relay) was a large
+    fraction of wavefront wall time at one dispatch per bounce; shrink
+    decisions now happen every n_steps bounces instead. Dead lanes carry
+    zero-width t windows, so post-extinction steps inside a dispatch are
+    nearly free."""
+    total = jnp.int32(0)
+    live = jnp.int32(0)
+    for i in range(n_steps):
+        queue, live, cast = step(scene, queue, bounce0 + jnp.int32(i),
+                                 rr_start)
+        total = total + cast
+    return queue, live, total
+
+
 def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
                 rr_start, live_history: list | None = None
                 ) -> tuple[jnp.ndarray, int]:
     """Host-level bounce loop over one ray chunk. film: (npix,3) device
     array. Returns (film', rays_cast). live_history (optional list) gets
-    the live-ray count appended per bounce — the wavefront occupancy
+    the live-ray count appended per dispatch — the wavefront occupancy
     metric (SURVEY.md §5)."""
     total_rays = 0
     n = queue.o.shape[0]
-    for bounce in range(max_depth):
-        film, queue, live, cast = step(
-            scene, film, queue, jnp.int32(bounce), rr_start
-        )
+    for bounce0 in range(0, max_depth, BOUNCES_PER_DISPATCH):
+        n_steps = min(BOUNCES_PER_DISPATCH, max_depth - bounce0)
+        queue, live, cast = multi_step(scene, queue, jnp.int32(bounce0),
+                                       rr_start, n_steps)
         total_rays += int(cast)
         live = int(live)
         if live_history is not None:
             live_history.append(live)
         if live == 0:
-            return film, total_rays
+            break
         b = _bucket(live)
         if b < n:
-            queue = Queue(*(x[:b] for x in queue))
+            # rows [b:] are dead (sorted live-first); their radiance is
+            # final — commit exactly once, then drop them
+            film = commit_rows(film, queue.rad[b:], queue.pix[b:])
+            queue = queue._replace(
+                o=queue.o[:b], d=queue.d[:b], atten=queue.atten[:b],
+                rad=queue.rad[:b], pix=queue.pix[:b],
+                key=queue.key[:, :b], alive=queue.alive[:b],
+            )
             n = b
     film = commit_remaining(film, queue)
     return film, total_rays
@@ -175,16 +206,16 @@ def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
     """
 
     def cond(c):
-        bounce, _, q, _ = c
+        bounce, q, _ = c
         return (bounce < max_depth) & jnp.any(q.alive)
 
     def body(c):
-        bounce, film, q, nrays = c
-        film, q, _, cast = step(scene, film, q, bounce, rr_start)
-        return bounce + 1, film, q, nrays + cast
+        bounce, q, nrays = c
+        q, _, cast = step(scene, q, bounce, rr_start)
+        return bounce + 1, q, nrays + cast
 
-    init = (jnp.int32(0), film, queue, jnp.int32(0))
-    _, film, queue, nrays = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), queue, jnp.int32(0))
+    _, queue, nrays = jax.lax.while_loop(cond, body, init)
     film = commit_remaining(film, queue)
     return film, nrays
 
