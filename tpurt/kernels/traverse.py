@@ -165,42 +165,41 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         meta = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
         return rows, skip, meta
 
-    def slab_any(rows, t_best):
+    def slab_any(rows, t_best, oxs, ixs):
         tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
         tf = t_best
-        for k, (oc, ic) in enumerate(((ox, ix), (oy, iy), (oz, iz))):
-            t0 = (rows[:, k, None] - oc) * ic
-            t1 = (rows[:, k + 3, None] - oc) * ic
+        for k in range(3):
+            t0 = (rows[:, k, None] - oxs[k]) * ixs[k]
+            t1 = (rows[:, k + 3, None] - oxs[k]) * ixs[k]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         return jnp.any(tn <= tf, axis=-1)          # (P,)
 
-    def outer_cond(st):
-        return jnp.any(st[0] >= 0)
-
     def outer(st):
-        node, t_best, nx, ny, nz, m_best, found, it_outer, it_adv = st
+        (node, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+         t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
+        pp = node.shape[0]
+        oxs = (sox, soy, soz)
+        ixs = (six, siy, siz)
         if with_counters:
             it_outer = it_outer + 1
 
-        # Phase A: a FIXED 16 node steps per round (packets that land on a
-        # hit leaf stall as pending; already-finished packets stall too).
+        # Phase A: a FIXED ADV_STEPS node steps per round (packets that
+        # land on a hit leaf stall as pending; finished packets stall too).
         # Fixed-trip beats "advance until every packet is pending": the
         # latter synchronizes all packets on the slowest one's next-leaf
-        # distance every round, which multiplied rounds x max-distance on
-        # divergent chunks. 16 steps amortize per-iteration overhead and
-        # bound how long an early-pending packet waits for its leaf pass.
+        # distance every round.
         def adv_step(nd, pending):
             act = (nd >= 0) & ~pending
             rows, skip, meta = node_fields(jnp.maximum(nd, 0))
-            hit_any = slab_any(rows, t_best) & act
+            hit_any = slab_any(rows, t_best, oxs, ixs) & act
             is_leaf = (meta & 1) == 1
             stop = hit_any & is_leaf                        # becomes pending
             nxt = jnp.where(hit_any & ~is_leaf, nd + 1, skip)
             nd = jnp.where(act & ~stop, nxt, nd)
             return nd, pending | stop
 
-        pending = jnp.zeros(p, bool)
+        pending = jnp.zeros(pp, bool)
         for _ in range(ADV_STEPS):
             node, pending = adv_step(node, pending)
         if with_counters:
@@ -211,7 +210,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         # written out componentwise over (P, LN, R) scalar arrays).
         _, skip, meta = node_fields(jnp.maximum(node, 0))
         row_id = jnp.where(pending, meta >> 1, 0)
-        tri = leaves[row_id].reshape(p, LN, 10)             # one row gather
+        tri = leaves[row_id].reshape(pp, LN, 10)            # one row gather
 
         def tc(k):                                          # (P, LN, 1)
             return tri[:, :, k][:, :, None]
@@ -221,8 +220,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         e2x, e2y, e2z = tc(6), tc(7), tc(8)
         matb = jax.lax.bitcast_convert_type(tri[:, :, 9], jnp.int32)
 
-        rdx, rdy, rdz = dx[:, None, :], dy[:, None, :], dz[:, None, :]
-        rox, roy, roz = ox[:, None, :], oy[:, None, :], oz[:, None, :]
+        rdx, rdy, rdz = sdx[:, None, :], sdy[:, None, :], sdz[:, None, :]
+        rox, roy, roz = sox[:, None, :], soy[:, None, :], soz[:, None, :]
 
         # pvec = d x e2
         pvx = rdy * e2z - rdz * e2y
@@ -272,11 +271,45 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         found = found | better
 
         node = jnp.where(pending, skip, node)
-        return (node, t_best, nx, ny, nz, m_best, found, it_outer, it_adv)
+        return (node, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+                t_best, nx, ny, nz, m_best, found, it_outer, it_adv)
+
+    def run_stages(state, caps):
+        """Tail compaction: traversal rounds cost O(live packet set), but a
+        while_loop's shapes are fixed — so run the loop in STAGES. Each
+        stage loops until the active-packet count fits the next capacity,
+        then gathers the still-active packets' rows (cheap 512-byte row
+        gathers) into half-size arrays and recurses; results scatter back
+        on return. The long tail of straggler packets — which otherwise
+        gates hundreds of full-size rounds — finishes on 1/8-size arrays."""
+        if not caps:
+            return jax.lax.while_loop(
+                lambda st: jnp.any(st[0] >= 0), outer, state
+            )
+        cap = caps[0]
+        if state[0].shape[0] <= cap:
+            return run_stages(state, caps[1:])
+
+        def cond(st):
+            act = st[0] >= 0
+            return jnp.any(act) & (jnp.sum(act) > cap)
+
+        state = jax.lax.while_loop(cond, outer, state)
+        order = jnp.argsort(
+            jnp.where(state[0] >= 0, 0, 1).astype(jnp.int32), stable=True
+        )
+        sel = order[:cap]
+        sub = tuple(a if a.ndim == 0 else a[sel] for a in state)
+        sub = run_stages(sub, caps[1:])
+        out = []
+        for full, s in zip(state, sub):
+            out.append(s if full.ndim == 0 else full.at[sel].set(s))
+        return tuple(out)
 
     zero = jnp.zeros((p, PACKET_R), jnp.float32)
     init = (
         base,
+        ox, oy, oz, dx, dy, dz, ix, iy, iz,
         t_max.reshape(p, PACKET_R),
         zero, zero, zero,
         jnp.zeros((p, PACKET_R), jnp.int32),
@@ -284,9 +317,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         jnp.int32(0),
         jnp.int32(0),
     )
-    (_, t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = (
-        jax.lax.while_loop(outer_cond, outer, init)
-    )
+    caps = [c for c in (p // 2, p // 4, p // 8, p // 16, p // 32,
+                        p // 64) if c >= 8]
+    final = run_stages(init, caps)
+    (_, _, _, _, _, _, _, _, _, _,
+     t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = final
     n_best = jnp.stack(
         [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1
     )
