@@ -26,7 +26,9 @@ from . import geometry, linalg, materials, rng
 from .geometry import INF, T_MIN
 from .kernels import intersect as intersect_k
 from .kernels import traverse as traverse_k
-from .kernels.traverse import bvh_nearest_tri, packet_nearest_tri  # re-export
+from .kernels.traverse import (  # re-export
+    PACKET_R, bvh_nearest_tri, packet_nearest_tri,
+)
 from .scene import Scene
 
 RR_CLAMP_LO, RR_CLAMP_HI = 0.05, 0.95  # A.8
@@ -233,9 +235,70 @@ def trace(scene: Scene, o, d, keys, max_depth: int,
         keys,
         jnp.int32(0),
     )
-    _, _, _, _, rad, slot, _, _, nrays = jax.lax.while_loop(cond, body, init)
-    if resort:
+
+    # Tail compaction over BOUNCES, at packet granularity (same trick as
+    # traverse.run_stages): every per-bounce op costs O(batch size) while
+    # the live population decays, so once the count of packets with ANY
+    # live ray fits the next capacity, gather those packets' rows into
+    # half-size arrays and continue there. Rays never leave their packet
+    # (traversal coherence preserved); `slot` carries original indices for
+    # the final radiance scatter. Requires N to be packet-aligned.
+    staged = (n % PACKET_R == 0) and not resort
+
+    def _gather(c, sel, cap):
+        bounce, o, d, atten, rad, slot, alive, ks, nrays = c
+        pk = o.shape[0] // PACKET_R
+
+        def rows(a):
+            return a.reshape(pk, -1)[sel].reshape(
+                cap * PACKET_R, *a.shape[1:]
+            )
+
+        return (bounce, rows(o), rows(d), rows(atten), rows(rad),
+                rows(slot), rows(alive),
+                ks.reshape(3, pk, -1)[:, sel].reshape(3, cap * PACKET_R),
+                nrays)
+
+    def _run(c, caps):
+        if not caps:
+            return jax.lax.while_loop(cond, body, c)
+        cap = caps[0]
+        pk = c[1].shape[0] // PACKET_R
+        if pk <= cap:
+            return _run(c, caps[1:])
+
+        def cond2(st):
+            live_pk = jnp.sum(
+                jnp.any(st[6].reshape(-1, PACKET_R), axis=-1),
+                dtype=jnp.int32,
+            )
+            return cond(st) & (live_pk > cap)
+
+        c = jax.lax.while_loop(cond2, body, c)
+        pk_dead = ~jnp.any(c[6].reshape(-1, PACKET_R), axis=-1)
+        sel = jnp.argsort(pk_dead.astype(jnp.int32), stable=True)[:cap]
+        sub = _run(_gather(c, sel, cap), caps[1:])
+        # Only rad (finalized radiance) and the scalars need to come back;
+        # rad rows are scattered to original slots at the end via `slot`.
+        return (sub[0], c[1], c[2], c[3],
+                c[4].reshape(pk, -1).at[sel].set(
+                    sub[4].reshape(cap, -1)
+                ).reshape(-1, 3),
+                c[5], c[6], c[7], sub[8])
+
+    if staged:
+        n_pk = n // PACKET_R
+        caps = [c for c in (n_pk // 2, n_pk // 4, n_pk // 8, n_pk // 16)
+                if c >= 4]
+        final = _run(init, caps)
+        _, _, _, _, rad, slot, _, _, nrays = final
         rad = jnp.zeros_like(rad).at[slot].set(rad)
+    else:
+        _, _, _, _, rad, slot, _, _, nrays = jax.lax.while_loop(
+            cond, body, init
+        )
+        if resort:
+            rad = jnp.zeros_like(rad).at[slot].set(rad)
     return rad, nrays
 
 
