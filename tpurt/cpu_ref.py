@@ -18,7 +18,7 @@ import numpy as np
 from . import rng
 from .bvh import LEAF_N
 from .config import RenderConfig
-from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, Scene
+from .scene import DIELECTRIC, EMISSIVE, METAL, Scene
 from .trace import PRIMARY_AMBIENT, PRIMARY_LIGHT_DIR, RR_CLAMP_HI, RR_CLAMP_LO
 
 T_MIN = 1e-3

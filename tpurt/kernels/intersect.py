@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..geometry import INF, T_MIN, TRI_EPS
+from ..geometry import T_MIN, TRI_EPS
 
 TILE = 1024          # rays per grid step (8 x 128 f32 tiles)
 MAX_TRIS = 64        # VMEM-resident unrolled loop bound

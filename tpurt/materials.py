@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import linalg, rng
-from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL
+from .scene import DIELECTRIC, EMISSIVE, METAL
 
 
 def scatter(d, n, front, mtype, albedo, fuzz, ior, draws):

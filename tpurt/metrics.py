@@ -22,7 +22,6 @@ import json
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import Optional
 
 
 def build_stats(rays: int, wall_s: float, width: int, height: int,

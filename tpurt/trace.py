@@ -23,9 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry, linalg, materials, rng
-from .geometry import INF, T_MIN
+from .geometry import INF
 from .kernels import intersect as intersect_k
-from .kernels import traverse as traverse_k
 from .kernels.traverse import (  # re-export
     PACKET_R, bvh_nearest_tri, packet_nearest_tri,
 )
