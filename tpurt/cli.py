@@ -31,7 +31,8 @@ def _build_parser(preset_names) -> argparse.ArgumentParser:
     r.add_argument("--seed", type=int, default=None)
     r.add_argument("--scene", type=str, default=None,
                    help="spheres_plane | cornell | blob | obj:<path>")
-    r.add_argument("--mode", choices=["primary", "mega", "wavefront"],
+    r.add_argument("--mode",
+                   choices=["primary", "mega", "wavefront", "persist"],
                    default=None)
     r.add_argument("--rr-start", type=int, default=None)
     r.add_argument("--mesh-subdiv", type=int, default=None)

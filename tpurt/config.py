@@ -23,7 +23,7 @@ class RenderConfig:
     max_depth: int = 8
     seed: int = 0
     scene: str = "spheres_plane"      # spheres_plane | cornell | blob | obj:<path>
-    mode: str = "mega"                 # primary | mega | wavefront
+    mode: str = "mega"                 # primary | mega | wavefront | persist
     rr_start: Optional[int] = None     # Russian roulette from this bounce (A.8)
     spp_chunk: int = 0                 # 0 = auto (by ray-batch budget)
     # Max rays per device batch. 128k is the measured sweet spot on TPU

@@ -115,6 +115,25 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     for p0 in range(0, npix, pixel_block):
         p1 = min(p0 + pixel_block, npix)
         pixel_ids = jnp.asarray(order[p0:p1])
+        if cfg.mode == "persist":
+            # persistent wavefront streams the whole sample range of this
+            # pixel block through one fixed-capacity device dispatch
+            n_smp = sample_stop - sample_start
+            total = (p1 - p0) * n_smp
+            capacity = min(cfg.ray_batch, total)
+            capacity += (-capacity) % trace.PACKET_R
+            film_flat, nrays, occ, iters = wavefront.trace_persistent(
+                scene, cam, film_flat, pixel_ids,
+                jnp.int32(sample_start), jnp.int32(n_smp), seed,
+                cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
+                capacity,
+            )
+            total_rays += int(nrays)
+            if stats_sink is not None:
+                stats_sink.setdefault("persist_occupancy", []).append(
+                    float(occ)
+                )
+            continue
         for s0 in range(sample_start, sample_stop, spp_chunk):
             s1 = min(s0 + spp_chunk, sample_stop)
             sample_ids = jnp.arange(s0, s1, dtype=jnp.int32)
@@ -169,4 +188,8 @@ def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):
         stats["occupancy"] = metrics.occupancy(
             sink["live_history"], sink.get("queue_capacity", 1)
         )
+    if "persist_occupancy" in sink:
+        occ = sink["persist_occupancy"]
+        stats["occupancy"] = {"mean_occupancy": sum(occ) / len(occ),
+                              "chunks": len(occ)}
     return film, stats

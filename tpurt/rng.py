@@ -80,10 +80,11 @@ def _draw_pairs(streams, stream_id, n_pairs, xp):
     """streams: (3, N) uint32 [pixel, sample, seed]; returns
     (2 * n_pairs, N) f32 uniforms in [0, 1)."""
     pix, smp, seed = streams[0], streams[1], streams[2]
+    stream_id = xp.asarray(stream_id).astype(xp.uint32)  # scalar or (N,)
     out = []
     for c in range(n_pairs):
         y0, y1 = _threefry2x32(
-            seed, (xp.uint32(stream_id) + xp.uint32(c)).astype(xp.uint32),
+            seed, (stream_id + xp.uint32(c)).astype(xp.uint32),
             pix, smp, xp,
         )
         out.append(_uniform(y0, xp))
@@ -108,8 +109,11 @@ def camera_draws(streams):
 
 
 def bounce_draws(streams, bounce):
-    """(3, N) streams, scalar bounce -> (NDRAWS, N) uniforms."""
-    sid = BOUNCE_BASE + jnp.uint32(4) * jnp.asarray(bounce, jnp.uint32)
+    """(3, N) streams, bounce scalar or (N,) -> (NDRAWS, N) uniforms.
+
+    A per-ray bounce vector serves the persistent wavefront, where queue
+    slots hold rays at different depths simultaneously."""
+    sid = BOUNCE_BASE + jnp.uint32(4) * jnp.asarray(bounce).astype(jnp.uint32)
     return _draw_pairs(streams, sid, NDRAWS // 2, jnp)
 
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import camera as camera_mod
 from . import materials, rng, trace
 from .geometry import INF
 from .scene import Scene
@@ -218,6 +219,139 @@ def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
     _, queue, nrays = jax.lax.while_loop(cond, body, init)
     film = commit_remaining(film, queue)
     return film, nrays
+
+
+@partial(jax.jit,
+         static_argnames=("max_depth", "rr_start", "capacity"))
+def trace_persistent(scene: Scene, cam, film, pixel_table, sample_lo,
+                     n_samples, seed, width, height,
+                     max_depth: int, rr_start, capacity: int):
+    """Persistent wavefront: a fixed-capacity ray pool at ~100% occupancy.
+
+    The classic wavefront regeneration design, fully on-device: queue slots
+    hold rays at DIFFERENT bounce depths (per-slot bounce counters feed the
+    per-ray RNG streams); the moment a ray dies its radiance is
+    scatter-added to the film and the slot is refilled with the next
+    (pixel, sample) ray from a global counter — so, unlike the megakernel
+    (dead lanes masked) or the shrinking wavefront (power-of-two buckets +
+    host round trips), every lane does useful work every iteration and the
+    whole chunk is ONE device dispatch.
+
+    pixel_table: (npix_chunk,) pixel ids in tile order; the chunk streams
+    npix_chunk * n_samples rays through `capacity` slots. Returns
+    (film', rays_cast, occupancy, iterations).
+
+    Measured verdict (TPU v5e, 81920-tri mesh): ~5x SLOWER than the
+    staged megakernel despite near-100% lane occupancy — regeneration
+    mixes fresh primary rays into packets holding old deep rays, which
+    destroys the direction/origin coherence the packet BVH walk depends
+    on, and constant occupancy means the staged tail compaction never
+    engages. On this architecture coherence beats occupancy; the mode is
+    kept as the occupancy-optimal reference point and for scenes where
+    traversal is cheap relative to shading.
+    """
+    npix_chunk = pixel_table.shape[0]
+    total = npix_chunk * jnp.asarray(n_samples, jnp.int32)
+
+    def load_rays(r, valid):
+        """Materialize rays for global ray indices r (K,) where valid."""
+        smp = sample_lo + r // npix_chunk
+        pos = jnp.where(valid, r % npix_chunk, 0)
+        pix = pixel_table[pos]
+        streams = rng.make_streams(seed, pix, smp)
+        jit2 = rng.camera_draws(streams)
+        o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
+        return o, d, pix, streams
+
+    r0 = jnp.arange(capacity, dtype=jnp.int32)
+    valid0 = r0 < total
+    o, d, pix, streams = load_rays(r0, valid0)
+    init = (
+        film, o, d,
+        jnp.ones((capacity, 3), jnp.float32),   # atten
+        jnp.zeros((capacity, 3), jnp.float32),  # rad
+        pix, streams,
+        jnp.zeros(capacity, jnp.int32),         # per-slot bounce
+        valid0,                                 # alive
+        jnp.minimum(jnp.int32(capacity), total),  # counter
+        jnp.int32(0),                           # rays cast
+        jnp.int32(0),                           # iterations
+    )
+
+    def cond(c):
+        return jnp.any(c[8])
+
+    def body(c):
+        (film, o, d, atten, rad, pix, streams, bounce, alive, counter,
+         nrays, iters) = c
+        nrays = nrays + jnp.sum(alive, dtype=jnp.int32)
+        iters = iters + 1
+
+        h = trace.intersect(scene, o, d,
+                            t_cap=jnp.where(alive, INF, 0.0))
+        live_hit = alive & h.ok
+        live_miss = alive & ~h.ok
+        rad = rad + jnp.where(live_miss[:, None],
+                              atten * trace.sky(scene, d), 0.0)
+        rad = rad + jnp.where(live_hit[:, None],
+                              atten * scene.mat_emit[h.mat], 0.0)
+
+        draws = rng.bounce_draws(streams, bounce)   # per-slot bounce depth
+        p = o + h.t[:, None] * d
+        new_d, att, s_alive = materials.scatter(
+            d, h.n, h.front,
+            scene.mat_type[h.mat], scene.mat_albedo[h.mat],
+            scene.mat_fuzz[h.mat], scene.mat_ior[h.mat], draws,
+        )
+        atten = jnp.where(live_hit[:, None], atten * att, atten)
+        alive = live_hit & s_alive
+        o = jnp.where(live_hit[:, None], p, o)
+        d = jnp.where(live_hit[:, None], new_d, d)
+
+        if rr_start is not None:
+            p_surv = jnp.clip(jnp.max(atten, axis=-1),
+                              trace.RR_CLAMP_LO, trace.RR_CLAMP_HI)
+            rr_on = (bounce >= rr_start) & alive
+            survive = draws[4] < p_surv
+            atten = jnp.where((rr_on & survive)[:, None],
+                              atten / p_surv[:, None], atten)
+            alive = alive & (~rr_on | survive)
+
+        bounce = jnp.where(live_hit, bounce + 1, bounce)
+        alive = alive & (bounce < max_depth)        # A.8 depth cut
+
+        # Regeneration: dead slots commit their ray's radiance and take the
+        # next ray off the global counter (slot-order deterministic).
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        new_r = counter + rank
+        refill = dead & (new_r < total)
+        film = film.at[pix].add(jnp.where(refill[:, None], rad, 0.0))
+        o2, d2, pix2, streams2 = load_rays(jnp.where(refill, new_r, 0),
+                                           refill)
+        o = jnp.where(refill[:, None], o2, o)
+        d = jnp.where(refill[:, None], d2, d)
+        pix = jnp.where(refill, pix2, pix)
+        streams = jnp.where(refill[None, :], streams2, streams)
+        atten = jnp.where(refill[:, None], 1.0, atten)
+        rad = jnp.where(refill[:, None], 0.0, rad)
+        bounce = jnp.where(refill, 0, bounce)
+        alive = alive | refill
+        counter = counter + jnp.sum(refill, dtype=jnp.int32)
+
+        return (film, o, d, atten, rad, pix, streams, bounce, alive,
+                counter, nrays, iters)
+
+    (film, _, _, _, rad, pix, _, _, _, _, nrays, iters) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    # every slot's current occupant commits exactly once here (refilled
+    # slots committed their previous occupants at refill time)
+    film = film.at[pix].add(rad)
+    occ = nrays.astype(jnp.float32) / jnp.maximum(
+        iters.astype(jnp.float32) * capacity, 1.0
+    )
+    return film, nrays, occ, iters
 
 
 def make_queue(o, d, pix, keys) -> Queue:
