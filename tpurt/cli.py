@@ -48,7 +48,8 @@ def _build_parser(preset_names) -> argparse.ArgumentParser:
                    help="checkpoint every K samples")
     r.add_argument("--resume", action="store_true")
     r.add_argument("--profile-dir", type=str, default=None,
-                   help="capture a jax.profiler trace into this directory")
+                   help="capture a jax.profiler (XProf) trace into this "
+                        "directory; expect a large slowdown while tracing")
     return p
 
 
