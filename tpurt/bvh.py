@@ -201,7 +201,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
     )
 
 
-PACKET_LEAF_N = 16
+PACKET_LEAF_N = 32
 
 
 class PacketBVH(NamedTuple):
