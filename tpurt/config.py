@@ -26,10 +26,10 @@ class RenderConfig:
     mode: str = "mega"                 # primary | mega | wavefront | persist
     rr_start: Optional[int] = None     # Russian roulette from this bounce (A.8)
     spp_chunk: int = 0                 # 0 = auto (by ray-batch budget)
-    # Max rays per device batch. 128k is the measured sweet spot on TPU
-    # v5e: larger batches lengthen the packet-traversal while_loop tail
-    # (max leaf visits across packets gates every iteration) and degrade
-    # per-ray throughput ~9x at 1M rays.
+    # Max rays per device batch. 128k measured best on TPU v5e; since the
+    # staged tail compaction landed, 256k-1M are within ~10% (the original
+    # 9x degradation at 1M rays came from straggler packets gating every
+    # full-size loop iteration, which staging fixed).
     ray_batch: int = 1 << 17
     shard: str = "none"                # none | tiles | spp (SURVEY.md §2 table)
     mesh_subdiv: int = 6               # blob resolution (81920 tris at 6)
