@@ -68,13 +68,28 @@ def test_tiles_wavefront_sharded(sp, single):
 
 
 def test_nonmultiple_pixel_count(sp):
-    """npix not divisible by ndev exercises the pad path."""
+    """npix not divisible by ndev exercises the pad path: image must match
+    AND the psum'd ray counter must not count the pad duplicates (the pad
+    rays start dead — the Mrays numerator counts real pixels only)."""
     scene_cam = config.build_scene(CFG.replace(width=45, height=31))
     cfg = CFG.replace(width=45, height=31, shard="tiles")
     mesh = mesh_mod.make_mesh(8)   # 1395 pixels % 8 != 0
-    f8, _ = mesh_mod.render_sharded(cfg, *scene_cam, mesh)
-    f1, _ = render.render(cfg.replace(shard="none"), *scene_cam)
+    f8, s8 = mesh_mod.render_sharded(cfg, *scene_cam, mesh)
+    f1, s1 = render.render(cfg.replace(shard="none"), *scene_cam)
     assert film_mod.rmse(f1, f8) < 1e-6
+    assert s8["rays"] == s1["rays"]
+
+
+def test_nonmultiple_pixel_count_wavefront(sp):
+    """Same pad-masking contract through the SPMD wavefront path."""
+    scene_cam = config.build_scene(CFG.replace(width=45, height=31))
+    cfg = CFG.replace(width=45, height=31, shard="tiles", mode="wavefront")
+    mesh = mesh_mod.make_mesh(8)
+    f8, s8 = mesh_mod.render_sharded(cfg, *scene_cam, mesh)
+    f1, s1 = render.render(cfg.replace(shard="none", mode="mega"),
+                           *scene_cam)
+    assert film_mod.rmse(f1, f8) < 1e-6
+    assert s8["rays"] == s1["rays"]
 
 
 def test_one_device_mesh_degenerate(sp, single):

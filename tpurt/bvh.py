@@ -221,9 +221,10 @@ class PacketBVH(NamedTuple):
         meta_bits]; skip is an ABSOLUTE index into the concatenated array
         (-1 terminates), meta is 0 for inner nodes and (leaf_row << 1) | 1
         for leaves (leaf rows shared by all layouts).
-      leaves: (L, PACKET_LEAF_N * 10) f32 — per leaf row, 16 triangles of
-        [v0.xyz, e1.xyz, e2.xyz, mat_bits], padded with degenerate
-        triangles, so one 640-byte row gather yields the whole leaf.
+      leaves: (L, PACKET_LEAF_N * 10) f32 — per leaf row, PACKET_LEAF_N
+        triangles of [v0.xyz, e1.xyz, e2.xyz, mat_bits], padded with
+        degenerate triangles, so one row gather (PACKET_LEAF_N * 40
+        bytes) yields the whole leaf.
       n_nodes: M (per-layout node count; packet base = octant * M).
     """
 

@@ -59,32 +59,49 @@ def load(path: str, cfg: RenderConfig):
 
 def render_with_checkpoints(cfg: RenderConfig, scene: Optional[Scene] = None,
                             cam=None, path: str = "render.ckpt.npz",
-                            every: int = 64, resume: bool = False):
+                            every: int = 64, resume: bool = False,
+                            mesh=None):
     """Full-frame render that checkpoints every `every` samples.
 
     Same output contract as render.render(); if `resume` and `path` exists,
-    continues from the recorded sample index.
+    continues from the recorded sample index. Composes with sharding:
+    cfg.shard != 'none' routes each sample chunk through
+    mesh.render_samples_sharded, so a config-5 multi-chip render can be
+    interrupted after any chunk and resumed to the bit-identical image
+    (SURVEY.md §5 checkpoint bullet — written about config 5).
     """
     if scene is None or cam is None:
         scene, cam = build_scene(cfg)
-    scene = scene.device()
     npix = cfg.width * cfg.height
+    sharded = cfg.shard != "none"
+    if sharded:
+        from . import mesh as mesh_mod
+        if mesh is None:
+            mesh = mesh_mod.make_mesh()
+    else:
+        scene = scene.device()
 
     start, total_rays = 0, 0
-    film_flat = jnp.zeros((npix, 3), jnp.float32)
+    film_flat = (np.zeros((npix, 3), np.float32) if sharded
+                 else jnp.zeros((npix, 3), jnp.float32))
     resumed_from = None
     if resume and os.path.exists(path):
         film_np, start, total_rays = load(path, cfg)
-        film_flat = jnp.asarray(film_np)
+        film_flat = film_np if sharded else jnp.asarray(film_np)
         resumed_from = start
 
     t0 = time.perf_counter()
     ckpts = 0
     for s0 in range(start, cfg.spp, every):
         s1 = min(s0 + every, cfg.spp)
-        film_flat, nrays = render_mod.render_samples(
-            cfg, scene, cam, s0, s1, film_flat
-        )
+        if sharded:
+            film_flat, nrays = mesh_mod.render_samples_sharded(
+                cfg, scene, cam, s0, s1, film_flat, mesh
+            )
+        else:
+            film_flat, nrays = render_mod.render_samples(
+                cfg, scene, cam, s0, s1, film_flat
+            )
         total_rays += nrays
         if s1 < cfg.spp:  # final state goes to the image, not the ckpt
             save(path, cfg,
@@ -106,4 +123,7 @@ def render_with_checkpoints(cfg: RenderConfig, scene: Optional[Scene] = None,
         "checkpoints_written": ckpts,
         "resumed_from_spp": resumed_from,
     }
+    if sharded:
+        stats["devices"] = mesh.size
+        stats["shard"] = cfg.shard
     return film, stats

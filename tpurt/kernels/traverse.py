@@ -100,9 +100,9 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         i.e. ~100x fewer gather rows than per-ray traversal;
       * the packet enters a subtree if ANY member ray hits the box
         (conservative union); per-ray t windows still prune;
-      * leaf visits gather one 640-byte row holding all 16 triangles and
-        intersect them against all 128 rays as dense (P, R, 16) math on
-        the VPU — no per-ray memory access at all.
+      * leaf visits gather one row holding all PACKET_LEAF_N triangles
+        (40 bytes each) and intersect them against all 128 rays as dense
+        (P, LN, R) math on the VPU — no per-ray memory access at all.
 
     Coherent packets (primary rays in scanline order, specular bounces)
     traverse near per-ray visit counts; fully diffuse packets degrade
@@ -205,8 +205,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         if with_counters:
             it_adv = it_adv + ADV_STEPS
 
-        # Phase B: every pending packet intersects its full 16-triangle
-        # leaf row against all member rays, densely (Möller–Trumbore
+        # Phase B: every pending packet intersects its full PACKET_LEAF_N-
+        # triangle leaf row against all member rays, densely (Möller–Trumbore
         # written out componentwise over (P, LN, R) scalar arrays).
         _, skip, meta = node_fields(jnp.maximum(node, 0))
         row_id = jnp.where(pending, meta >> 1, 0)

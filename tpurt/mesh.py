@@ -17,8 +17,17 @@ Because RNG streams are (pixel, sample)-counter-derived, both shardings
 produce the same image as the 1-chip render up to float summation order —
 asserted by the fake-mesh tests (SURVEY.md §4 Distributed row).
 
+The checkpointable unit is ``render_samples_sharded`` (mirrors
+render.render_samples): it accumulates the radiance SUM of a sample range
+into a host film array, so checkpoint/resume composes with sharding
+(SURVEY.md §5 checkpoint bullet — written about config 5's multi-chip
+renders).
+
 Degrades to a 1-chip mesh on this host's single TPU [ENV]; tested on an
-8-device forced-CPU mesh.
+8-device forced-CPU mesh. All device buffers are explicitly placed on the
+mesh (device_put with a NamedSharding), never on the default backend, so
+the whole module works on a mesh that is NOT the default platform — e.g.
+the fake CPU mesh while the TPU client can't even initialize.
 """
 
 from __future__ import annotations
@@ -48,51 +57,62 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
-def _device_trace(scene: Scene, cam, gpix, sample_ids, seed,
+def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
                   width, height, mode: str, max_depth: int, rr_start):
     """Trace one device's (pixel-block × sample-slice); returns the
-    per-pixel radiance sum (B,3) and rays-cast scalar. Pure SPMD body."""
+    per-pixel radiance sum (B,3) and rays-cast scalar. Pure SPMD body.
+
+    gvalid masks tile-padding rows (gpix entries duplicated to round the
+    pixel count up to the mesh size): pad rays start dead, so they are
+    never traced and never counted — the psum'd ray counter (the Mrays
+    numerator, SURVEY.md §5 Metrics) counts real pixels only.
+    """
     b = gpix.shape[0]
     c = sample_ids.shape[0]
     pix = jnp.tile(gpix, c)
+    valid = jnp.tile(gvalid, c)
     smp = jnp.repeat(sample_ids, b)
     keys = rng.make_streams(seed, pix, smp)
     jit2 = rng.camera_draws(keys)
     o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
 
     if mode == "primary":
-        rad, nrays = trace.shade_primary(scene, o, d)
+        rad, _ = trace.shade_primary(scene, o, d)
+        rad = jnp.where(valid[:, None], rad, 0.0)
+        nrays = jnp.sum(valid, dtype=jnp.int32)
         return rad.reshape(c, b, 3).sum(axis=0), nrays
     if mode == "wavefront":
         lpix = jnp.tile(jnp.arange(b, dtype=jnp.int32), c)  # local film slot
         film_local = jnp.zeros((b, 3), jnp.float32)
-        queue = wavefront.make_queue(o, d, lpix, keys)
+        queue = wavefront.make_queue(o, d, lpix, keys, alive=valid)
         return wavefront.trace_static(scene, film_local, queue,
                                       max_depth, rr_start)
-    rad, nrays = trace.trace(scene, o, d, keys, max_depth, rr_start)
+    rad, nrays = trace.trace(scene, o, d, keys, max_depth, rr_start,
+                             valid=valid)
     return rad.reshape(c, b, 3).sum(axis=0), nrays
 
 
 @partial(jax.jit,
          static_argnames=("mesh", "mode", "max_depth", "rr_start",
                           "width", "height"))
-def _tiles_chunk(scene: Scene, cam, gpix_pad, sample_ids, seed,
+def _tiles_chunk(scene: Scene, cam, gpix_pad, gvalid_pad, sample_ids, seed,
                  mesh: Mesh, mode: str, max_depth: int, rr_start,
                  width: int, height: int):
     """One sample-chunk over the pixel-sharded frame."""
 
-    def body(scene, cam, gpix_block, sample_ids, seed):
-        rad, nrays = _device_trace(scene, cam, gpix_block, sample_ids, seed,
+    def body(scene, cam, gpix_block, gvalid_block, sample_ids, seed):
+        rad, nrays = _device_trace(scene, cam, gpix_block, gvalid_block,
+                                   sample_ids, seed,
                                    width, height, mode, max_depth, rr_start)
         return rad, jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(), P()),
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P()),
         check_vma=False,  # while_loop carries start as replicated constants
     )
-    return fn(scene, cam, gpix_pad, sample_ids, seed)
+    return fn(scene, cam, gpix_pad, gvalid_pad, sample_ids, seed)
 
 
 @partial(jax.jit,
@@ -104,7 +124,9 @@ def _spp_chunk(scene: Scene, cam, pixel_ids, sample_ids_pad, seed,
     """One pixel-block over the sample-sharded axis; film psum over ICI."""
 
     def body(scene, cam, pixel_ids, sample_block, seed):
-        rad, nrays = _device_trace(scene, cam, pixel_ids, sample_block, seed,
+        valid = jnp.ones(pixel_ids.shape, bool)
+        rad, nrays = _device_trace(scene, cam, pixel_ids, valid,
+                                   sample_block, seed,
                                    width, height, mode, max_depth, rr_start)
         return jax.lax.psum(rad, AXIS), jax.lax.psum(nrays, AXIS)
 
@@ -117,17 +139,23 @@ def _spp_chunk(scene: Scene, cam, pixel_ids, sample_ids_pad, seed,
     return fn(scene, cam, pixel_ids, sample_ids_pad, seed)
 
 
-def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
-                   cam=None, mesh: Optional[Mesh] = None):
-    """Multi-chip render; same contract as render.render()."""
-    if scene is None or cam is None:
-        scene, cam = build_scene(cfg)
+def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
+                           sample_start: int, sample_stop: int,
+                           film_flat: Optional[np.ndarray] = None,
+                           mesh: Optional[Mesh] = None):
+    """Accumulate the radiance *sum* of samples [sample_start, sample_stop)
+    over the mesh into film_flat (npix, 3) — a HOST array, so the result is
+    directly checkpointable. Returns (film_flat, rays_cast).
+
+    Like render.render_samples, this is the checkpointable unit: RNG
+    streams are (pixel, sample)-counter-derived, so any grouping of the
+    sample range — one call, many calls, across a resume, across different
+    mesh sizes — produces the same sum.
+    """
     if mesh is None:
         mesh = make_mesh()
     ndev = mesh.size
 
-    # Explicit placement so the render works on a mesh that is NOT the
-    # default backend (e.g. the fake CPU mesh while axon/TPU is default).
     repl = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(AXIS))
     scene = jax.device_put(scene, repl)
@@ -135,18 +163,21 @@ def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
 
     npix = cfg.width * cfg.height
     seed = jax.device_put(np.uint32(cfg.seed), repl)
-    t0 = time.perf_counter()
+    if film_flat is None:
+        film_flat = np.zeros((npix, 3), np.float32)
     total_rays = 0
+    n_samples = sample_stop - sample_start
 
     if cfg.shard == "spp":
-        if cfg.spp % ndev:
+        if n_samples % ndev:
             raise ValueError(
-                f"spp sharding needs spp ({cfg.spp}) divisible by the mesh "
-                f"size ({ndev}); pick shard='tiles' otherwise"
+                f"spp sharding needs the sample count ({n_samples}) "
+                f"divisible by the mesh size ({ndev}); pick shard='tiles' "
+                f"otherwise"
             )
-        per_dev = cfg.spp // ndev
+        per_dev = n_samples // ndev
         pixel_block = min(npix, max(1, cfg.ray_batch // ndev))
-        film_flat = jax.device_put(np.zeros((npix, 3), np.float32), repl)
+        film_acc = jax.device_put(film_flat.astype(np.float32), repl)
         # chunk the per-device sample count so each SPMD call stays bounded
         chunk = max(1, min(per_dev,
                            cfg.ray_batch // max(1, pixel_block)))
@@ -157,9 +188,10 @@ def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
             )
             for s0 in range(0, per_dev, chunk):
                 s1 = min(s0 + chunk, per_dev)
-                # device k takes samples [k*per_dev + s0, k*per_dev + s1)
+                # device k takes samples [start + k*per_dev + s0, ... + s1)
                 blocks = [
-                    np.arange(k * per_dev + s0, k * per_dev + s1,
+                    np.arange(sample_start + k * per_dev + s0,
+                              sample_start + k * per_dev + s1,
                               dtype=np.int32)
                     for k in range(ndev)
                 ]
@@ -169,8 +201,9 @@ def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
                     cfg.mode, cfg.max_depth, cfg.rr_start,
                     cfg.width, cfg.height,
                 )
-                film_flat = film_flat.at[p0:p1].add(rad)
+                film_acc = film_acc.at[p0:p1].add(rad)
                 total_rays += int(nrays)
+        film_flat = np.asarray(jax.block_until_ready(film_acc))
     else:  # tiles
         from . import render as render_mod
 
@@ -179,34 +212,51 @@ def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
         gpix = np.concatenate(
             [order, np.full(npix_pad - npix, order[-1], np.int32)]
         )
+        gvalid = np.arange(npix_pad) < npix  # pad rows start dead
         gpix = jax.device_put(gpix, sharded)
+        gvalid = jax.device_put(gvalid, sharded)
         block = npix_pad // ndev
         spp_chunk = max(1, cfg.ray_batch // max(1, block))
         film_pad = jax.device_put(np.zeros((npix_pad, 3), np.float32),
                                   sharded)
-        for s0 in range(0, cfg.spp, spp_chunk):
-            s1 = min(s0 + spp_chunk, cfg.spp)
+        for s0 in range(sample_start, sample_stop, spp_chunk):
+            s1 = min(s0 + spp_chunk, sample_stop)
             sample_ids = jax.device_put(np.arange(s0, s1, dtype=np.int32),
                                         repl)
             rad, nrays = _tiles_chunk(
-                scene, cam, gpix, sample_ids, seed, mesh,
+                scene, cam, gpix, gvalid, sample_ids, seed, mesh,
                 cfg.mode, cfg.max_depth, cfg.rr_start,
                 cfg.width, cfg.height,
             )
             film_pad = film_pad + rad
             total_rays += int(nrays)
-        # rows of film_pad follow the tile-order enumeration; un-permute
-        film_flat = jnp.zeros((npix, 3), jnp.float32).at[order].set(
-            film_pad[:npix]
-        )
+        # rows of film_pad follow the tile-order enumeration; un-permute on
+        # the host (the film is being fetched anyway, and a device-side
+        # un-permute would allocate on the DEFAULT backend, breaking
+        # non-default meshes).
+        pad_h = np.asarray(jax.block_until_ready(film_pad))
+        film_flat = film_flat.copy()
+        film_flat[order] += pad_h[:npix]
+    return film_flat, total_rays
+
+
+def render_sharded(cfg: RenderConfig, scene: Optional[Scene] = None,
+                   cam=None, mesh: Optional[Mesh] = None):
+    """Multi-chip render; same contract as render.render()."""
+    if scene is None or cam is None:
+        scene, cam = build_scene(cfg)
+    if mesh is None:
+        mesh = make_mesh()
+
+    t0 = time.perf_counter()
+    film_flat, total_rays = render_samples_sharded(
+        cfg, scene, cam, 0, cfg.spp, mesh=mesh
+    )
+    film = (film_flat / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    wall = time.perf_counter() - t0
 
     from . import metrics
 
-    film_flat = film_flat / cfg.spp
-    film = np.asarray(jax.block_until_ready(film_flat)).reshape(
-        cfg.height, cfg.width, 3
-    )
-    wall = time.perf_counter() - t0
     stats = metrics.build_stats(total_rays, wall, cfg.width, cfg.height,
-                                cfg.spp, devices=ndev, shard=cfg.shard)
+                                cfg.spp, devices=mesh.size, shard=cfg.shard)
     return film, stats

@@ -160,12 +160,16 @@ def ray_coherence_key(scene: Scene, o, d, alive):
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "resort"))
 def trace(scene: Scene, o, d, keys, max_depth: int,
-          rr_start: Optional[int] = None, resort: bool = False):
+          rr_start: Optional[int] = None, resort: bool = False,
+          valid=None):
     """Path-trace N rays to completion.
 
     Returns (radiance (N,3) in the INPUT ray order, rays_cast ()) where
     rays_cast counts every live ray entering a bounce (the Mrays metric
     numerator, SURVEY.md §5 "Metrics").
+
+    valid (optional (N,) bool): rays born dead (e.g. sharding pad lanes,
+    mesh.py) — never traced, never counted.
 
     resort: re-sort rays inside the loop each bounce by (liveness,
     direction octant) — all on-device — so traversal packets stay
@@ -230,7 +234,7 @@ def trace(scene: Scene, o, d, keys, max_depth: int,
         jnp.ones((n, 3), jnp.float32),
         jnp.zeros((n, 3), jnp.float32),
         jnp.arange(n, dtype=jnp.int32),
-        jnp.ones(n, bool),
+        jnp.ones(n, bool) if valid is None else valid,
         keys,
         jnp.int32(0),
     )

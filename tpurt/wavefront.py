@@ -354,7 +354,7 @@ def trace_persistent(scene: Scene, cam, film, pixel_table, sample_lo,
     return film, nrays, occ, iters
 
 
-def make_queue(o, d, pix, keys) -> Queue:
+def make_queue(o, d, pix, keys, alive=None) -> Queue:
     n = o.shape[0]
     return Queue(
         o=o, d=d,
@@ -362,5 +362,5 @@ def make_queue(o, d, pix, keys) -> Queue:
         rad=jnp.zeros((n, 3), jnp.float32),
         pix=pix.astype(jnp.int32),
         key=keys,
-        alive=jnp.ones(n, bool),
+        alive=jnp.ones(n, bool) if alive is None else alive,
     )
