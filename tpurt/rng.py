@@ -22,13 +22,17 @@ Stream derivation (normative):
   streams            = (pixel_id, sample_id, seed) three uint32 (N,) rows
   pair c of stream s = threefry2x32(key=(seed, s + c), ctr=(pixel, sample))
   camera jitter      = stream CAMERA_STREAM, 1 pair  -> (2, N) uniforms
-  bounce b draws     = stream BOUNCE_BASE + 4*b, 4 pairs -> (8, N):
+  bounce b draws     = stream BOUNCE_BASE + 4*b, 3 pairs -> (6, N):
       [0], [1] : direction draws (unit-vector z/phi; shared by materials)
       [2]      : radius draw for random-in-unit-sphere (metal fuzz)
       [3]      : dielectric reflect-vs-refract decision
       [4]      : Russian-roulette survival draw
-      [5:8]    : reserved
+      [5]      : reserved
   uniform from u32   = (word >> 8) * 2**-24   (exact f32 in [0, 1))
+
+  (Draws are keyed per PAIR counter c, so trimming the pair count from 4
+  to 3 — only 5 draws are consumed — left every consumed draw's bits
+  unchanged; the stream-id stride stays 4 for compatibility.)
 
 Sampling primitives are rejection-free closed forms:
   random_unit_vector(u0, u1): z = 2*u0 - 1, phi = 2*pi*u1
@@ -40,7 +44,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-NDRAWS = 8
+NDRAWS = 6
 CAMERA_STREAM = np.uint32(0x43414D00)   # 'CAM\0'
 BOUNCE_BASE = np.uint32(0xB0000000)
 _KS_PARITY = np.uint32(0x1BD11BDA)

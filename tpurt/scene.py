@@ -51,6 +51,11 @@ class Scene(NamedTuple):
     mat_fuzz: np.ndarray    # (M,)
     mat_ior: np.ndarray     # (M,)
     mat_emit: np.ndarray    # (M,3)
+    # packed per-material row [type_bits, alb.rgb, emit.rgb, fuzz, ior,
+    # 0..] (M,16) f32 — the bounce loop gathers material params in ONE
+    # N-row gather instead of five (measured ~2.3 ms/bounce of pure gather
+    # latency at 131k rays on TPU v5e)
+    mat_packed: np.ndarray  # (M,16) f32
     # sky gradient endpoints (A.7); zeros => black background
     sky_a: np.ndarray     # (3,) color at horizon (t=0)
     sky_b: np.ndarray     # (3,) color at zenith (t=1)
@@ -191,13 +196,19 @@ class SceneBuilder:
         mat_f = np.asarray([m[2] for m in self._mat], np.float32)
         mat_i = np.asarray([m[3] for m in self._mat], np.float32)
         mat_e = np.asarray([m[4] for m in self._mat], np.float32)
+        mp = np.zeros((mat_t.shape[0], 16), np.float32)
+        mp[:, 0] = mat_t.view(np.float32)
+        mp[:, 1:4] = mat_a
+        mp[:, 4:7] = mat_e
+        mp[:, 7] = mat_f
+        mp[:, 8] = mat_i
 
         return Scene(
             sph_c=sph_c, sph_r=sph_r, sph_mat=sph_m,
             pln_n=pln_n, pln_k=pln_k, pln_mat=pln_m,
             tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=tri_m,
             mat_type=mat_t, mat_albedo=mat_a, mat_fuzz=mat_f,
-            mat_ior=mat_i, mat_emit=mat_e,
+            mat_ior=mat_i, mat_emit=mat_e, mat_packed=mp,
             sky_a=self.sky_a, sky_b=self.sky_b,
             bvh_lo=blo, bvh_hi=bhi, bvh_skip=bskip,
             bvh_first=bfirst, bvh_count=bcount,

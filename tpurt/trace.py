@@ -193,15 +193,14 @@ def trace(scene: Scene, o, d, keys, max_depth: int,
         live_miss = alive & ~h.ok
 
         rad = rad + jnp.where(live_miss[:, None], atten * sky(scene, d), 0.0)
-        emit = scene.mat_emit[h.mat]
-        rad = rad + jnp.where(live_hit[:, None], atten * emit, 0.0)
+        mp = scene.mat_packed[h.mat]               # ONE (N,16) param gather
+        mtype = jax.lax.bitcast_convert_type(mp[:, 0], jnp.int32)
+        rad = rad + jnp.where(live_hit[:, None], atten * mp[:, 4:7], 0.0)
 
         draws = rng.bounce_draws(ks, bounce)
         p = o + h.t[:, None] * d
         new_d, att, s_alive = materials.scatter(
-            d, h.n, h.front,
-            scene.mat_type[h.mat], scene.mat_albedo[h.mat],
-            scene.mat_fuzz[h.mat], scene.mat_ior[h.mat], draws,
+            d, h.n, h.front, mtype, mp[:, 1:4], mp[:, 7], mp[:, 8], draws,
         )
         atten = jnp.where(live_hit[:, None], atten * att, atten)
         alive = live_hit & s_alive
@@ -323,7 +322,6 @@ def shade_primary(scene: Scene, o, d):
     light = jnp.asarray(PRIMARY_LIGHT_DIR, jnp.float32)
     ndotl = jnp.maximum(jnp.sum(h.n * light[None, :], axis=-1), 0.0)
     shade = PRIMARY_AMBIENT + (1.0 - PRIMARY_AMBIENT) * ndotl
-    albedo = scene.mat_albedo[h.mat]
-    emit = scene.mat_emit[h.mat]
-    lit = albedo * shade[:, None] + emit
+    mp = scene.mat_packed[h.mat]
+    lit = mp[:, 1:4] * shade[:, None] + mp[:, 4:7]
     return jnp.where(h.ok[:, None], lit, sky(scene, d)), jnp.int32(o.shape[0])

@@ -69,15 +69,14 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
 
     rad = rad + jnp.where(live_miss[:, None],
                           atten * trace.sky(scene, d), 0.0)
-    emit = scene.mat_emit[h.mat]
-    rad = rad + jnp.where(live_hit[:, None], atten * emit, 0.0)
+    mp = scene.mat_packed[h.mat]                   # ONE (N,16) param gather
+    mtype = jax.lax.bitcast_convert_type(mp[:, 0], jnp.int32)
+    rad = rad + jnp.where(live_hit[:, None], atten * mp[:, 4:7], 0.0)
 
     draws = rng.bounce_draws(key, bounce)
     p = o + h.t[:, None] * d
     new_d, att, s_alive = materials.scatter(
-        d, h.n, h.front,
-        scene.mat_type[h.mat], scene.mat_albedo[h.mat],
-        scene.mat_fuzz[h.mat], scene.mat_ior[h.mat], draws,
+        d, h.n, h.front, mtype, mp[:, 1:4], mp[:, 7], mp[:, 8], draws,
     )
     atten = jnp.where(live_hit[:, None], atten * att, atten)
     next_alive = live_hit & s_alive
@@ -293,15 +292,15 @@ def trace_persistent(scene: Scene, cam, film, pixel_table, sample_lo,
         live_miss = alive & ~h.ok
         rad = rad + jnp.where(live_miss[:, None],
                               atten * trace.sky(scene, d), 0.0)
+        mp = scene.mat_packed[h.mat]
+        mtype = jax.lax.bitcast_convert_type(mp[:, 0], jnp.int32)
         rad = rad + jnp.where(live_hit[:, None],
-                              atten * scene.mat_emit[h.mat], 0.0)
+                              atten * mp[:, 4:7], 0.0)
 
         draws = rng.bounce_draws(streams, bounce)   # per-slot bounce depth
         p = o + h.t[:, None] * d
         new_d, att, s_alive = materials.scatter(
-            d, h.n, h.front,
-            scene.mat_type[h.mat], scene.mat_albedo[h.mat],
-            scene.mat_fuzz[h.mat], scene.mat_ior[h.mat], draws,
+            d, h.n, h.front, mtype, mp[:, 1:4], mp[:, 7], mp[:, 8], draws,
         )
         atten = jnp.where(live_hit[:, None], atten * att, atten)
         alive = live_hit & s_alive
