@@ -231,6 +231,13 @@ class PacketBVH(NamedTuple):
     nodes: np.ndarray    # (8*M, 8) f32
     leaves: np.ndarray   # (L, PACKET_LEAF_N*10) f32
     n_nodes: int
+    # K=8 disjoint subtree spans [start, end) of layout 0, balanced by
+    # node count (padded with (-1,-1)). Used by the multi-cursor tail
+    # traversal (kernels/traverse.py): each cursor owns one span, so K
+    # independent gather chains overlap — the narrow-stage round cost is
+    # LATENCY-bound (~12 us/round at 16 packets, measured), and K cursors
+    # divide the serial chain length by ~K.
+    cut: np.ndarray      # (8, 2) int32
 
 
 def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
@@ -333,8 +340,44 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
         leaves[row, :k, 3:6] = v1[run] - v0[run]
         leaves[row, :k, 6:9] = v2[run] - v0[run]
         leaves[row, :k, 9] = mat[run].view(np.float32)
+
+    # --- K-way subtree cut of layout 0 (multi-cursor tail traversal) --------
+    # Greedily split the largest span at its root's children until 8
+    # pieces. pos0/size are the layout-0 DFS positions/subtree sizes.
+    pos0 = np.empty(m, np.int64)
+    order0 = np.empty(m, np.int64)
+    cursor = 0
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        pos0[nid] = cursor
+        order0[cursor] = nid
+        cursor += 1
+        l, r = n_kids[nid]
+        if l >= 0:
+            stack.append(r)
+            stack.append(l)
+    size0 = np.ones(m, np.int64)
+    for c in range(m - 1, -1, -1):
+        nid = order0[c]
+        l, r = n_kids[nid]
+        if l >= 0:
+            size0[nid] = 1 + size0[l] + size0[r]
+    pieces = [0]                      # node ids whose subtrees form the cut
+    while len(pieces) < 8:
+        pieces.sort(key=lambda nid: -size0[nid])
+        split = next((i for i, nid in enumerate(pieces)
+                      if n_kids[nid][0] >= 0), None)
+        if split is None:
+            break
+        nid = pieces.pop(split)
+        pieces.extend(n_kids[nid])
+    cut = np.full((8, 2), -1, np.int32)
+    for i, nid in enumerate(sorted(pieces, key=lambda nid: pos0[nid])):
+        cut[i] = (pos0[nid], pos0[nid] + size0[nid])
+
     return PacketBVH(nodes=nodes, leaves=leaves.reshape(n_rows, leaf_n * 10),
-                     n_nodes=m)
+                     n_nodes=m, cut=cut)
 
 
 def validate(b: BVH) -> None:

@@ -84,16 +84,18 @@ def bvh_nearest_tri(scene: Scene, o, d, t_max):
 
 PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 USE_OCTANT_LAYOUTS = False  # see packet_nearest_tri; wins only with resort
-ADV_STEPS = 4  # fixed node steps per traversal round (tuned on TPU v5e)
+ADV_STEPS = 8  # fixed node steps per traversal round (tuned on TPU v5e)
+MC_PACKETS = 64  # stages at/below this packet count switch to multi-cursor
+MC_K = 8         # cursors per packet in the multi-cursor tail
 
 
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     """Packet traversal over the PacketBVH layout (bvh.PacketBVH).
 
-    Design rationale (measured on this TPU, see SURVEY.md §7 hard part 1):
+    Design rationale (measured on this TPU, see SURVEY.md SS7 hard part 1):
     XLA row-gathers cost ~3-8 ns per row nearly independent of row width,
     so per-ray traversal is gather-latency-bound at ~2 Mrays/s. Here ONE
-    traversal cursor serves a packet of PACKET_R rays — the classic packet
+    traversal cursor serves a packet of PACKET_R rays -- the classic packet
     traversal reborn for a vector machine:
 
       * one (P, 8) node-row gather per visited node (P = N/128 packets),
@@ -102,12 +104,24 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         (conservative union); per-ray t windows still prune;
       * leaf visits gather one row holding all PACKET_LEAF_N triangles
         (40 bytes each) and intersect them against all 128 rays as dense
-        (P, LN, R) math on the VPU — no per-ray memory access at all.
+        (P, LN, R) math on the VPU -- no per-ray memory access at all.
 
-    Coherent packets (primary rays in scanline order, specular bounces)
-    traverse near per-ray visit counts; fully diffuse packets degrade
-    toward the union of members' paths, which is why the wavefront keeps
-    rays in pixel-order packets (shared origin locality).
+    Round structure (re-tuned this round): each round advances every
+    active cursor ADV_STEPS nodes, then intersects every pending packet's
+    leaf row. A round has a hard LATENCY floor (~12 us at 16 packets --
+    the in-round gathers form a serial dependence chain), so the tail is
+    round-count-bound, not width-bound. Two mitigations:
+
+      * staged tail compaction (run_stages): rounds cost O(live packet
+        set), so still-active packets are gathered into half-size arrays
+        as the set shrinks (cheap (P,128)-row gathers; (N,)-row ray
+        permutes measured ~9 ns/row = ~11 ms at 131k and are NOT used);
+      * multi-cursor tail (_mc_finish): once a stage is narrow
+        (<= MC_PACKETS), each packet re-launches MC_K cursors, one per
+        precomputed subtree of the tree (bvh cut), carrying its shrunken
+        t window. The K gather chains are independent and overlap, so the
+        serial chain -- and the round count -- divides by ~K. Re-launch
+        redoes part of the walk, but the carried t_best prunes most of it.
 
     Returns per-ray (t, normal, mat, found) for the N input rays.
     """
@@ -126,7 +140,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     p = o.shape[0] // PACKET_R
 
     # Fully scalar SoA: every hot array is (P, R) or (P, LN, R) so the lane
-    # dimension is R=128 — a trailing xyz dim of 3 would be padded to the
+    # dimension is R=128 -- a trailing xyz dim of 3 would be padded to the
     # 128-lane tile and blow memory traffic up ~40x (measured: the packed
     # variant collapsed from 17.7 to 0.2 Mrays/s at 1M rays).
     ox, oy, oz = (o[:, k].reshape(p, PACKET_R) for k in range(3))
@@ -140,14 +154,16 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
 
     nodes = scene.pk_nodes                         # (8*M, 8)
     leaves = scene.pk_leaves                       # (L, LN*10)
-    m_nodes = nodes.shape[0] // 8
+    n_total = nodes.shape[0]
+    m_nodes = n_total // 8
+    use_mc = scene.pk_cut is not None and not USE_OCTANT_LAYOUTS
 
     if USE_OCTANT_LAYOUTS:
         # Each packet traverses the DFS layout ordered for its MAJORITY
         # direction octant (near child first -> early hits -> t pruning).
         # Measured: a LOSS for mixed-octant packets (minority rays
         # traverse anti-ordered, growing the union), a win only when rays
-        # are pre-sorted by octant — hence the flag.
+        # are pre-sorted by octant -- hence the flag.
         neg_x = (dx < 0).astype(jnp.int32)
         neg_y = (dy < 0).astype(jnp.int32)
         neg_z = (dz < 0).astype(jnp.int32)
@@ -160,7 +176,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         base = jnp.zeros(p, jnp.int32)
 
     def node_fields(nid):
-        rows = nodes[nid]                          # (P, 8)
+        rows = nodes[nid]                          # (..., 8)
         skip = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
         meta = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
         return rows, skip, meta
@@ -175,126 +191,208 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         return jnp.any(tn <= tf, axis=-1)          # (P,)
 
-    def outer(st):
-        (node, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+    def make_outer(sync_k=None):
+        """Round body. sync_k: if set, the packet axis is sync_k blocks of
+        virtual packets sharing rays; t_best/attributes are merged across
+        the blocks every round (multi-cursor mode)."""
+
+        def outer(st):
+            (node, end, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+             t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
+            pp = node.shape[0]
+            oxs = (sox, soy, soz)
+            ixs = (six, siy, siz)
+            if with_counters:
+                it_outer = it_outer + 1
+
+            # Phase A: a FIXED ADV_STEPS node steps per round (packets
+            # that land on a hit leaf stall as pending; finished packets
+            # stall too). Fixed-trip beats "advance until every packet is
+            # pending": the latter synchronizes all packets on the slowest
+            # one's next-leaf distance every round.
+            def adv_step(nd, pending):
+                act = (nd >= 0) & ~pending
+                rows, skip, meta = node_fields(jnp.maximum(nd, 0))
+                hit_any = slab_any(rows, t_best, oxs, ixs) & act
+                is_leaf = (meta & 1) == 1
+                stop = hit_any & is_leaf                    # becomes pending
+                nxt = jnp.where(hit_any & ~is_leaf, nd + 1, skip)
+                nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
+                nd = jnp.where(act & ~stop, nxt, nd)
+                return nd, pending | stop
+
+            pending = jnp.zeros(pp, bool)
+            for _ in range(ADV_STEPS):
+                node, pending = adv_step(node, pending)
+            if with_counters:
+                it_adv = it_adv + ADV_STEPS
+
+            # Phase B: every pending packet intersects its full
+            # PACKET_LEAF_N-triangle leaf row against all member rays,
+            # densely (Moller-Trumbore written out componentwise over
+            # (P, LN, R) scalar arrays).
+            _, skip, meta = node_fields(jnp.maximum(node, 0))
+            row_id = jnp.where(pending, meta >> 1, 0)
+            tri = leaves[row_id].reshape(pp, LN, 10)        # one row gather
+
+            def tc(k):                                      # (P, LN, 1)
+                return tri[:, :, k][:, :, None]
+
+            v0x, v0y, v0z = tc(0), tc(1), tc(2)
+            e1x, e1y, e1z = tc(3), tc(4), tc(5)
+            e2x, e2y, e2z = tc(6), tc(7), tc(8)
+            matb = jax.lax.bitcast_convert_type(tri[:, :, 9], jnp.int32)
+
+            rdx, rdy, rdz = sdx[:, None, :], sdy[:, None, :], sdz[:, None, :]
+            rox, roy, roz = sox[:, None, :], soy[:, None, :], soz[:, None, :]
+
+            # pvec = d x e2
+            pvx = rdy * e2z - rdz * e2y
+            pvy = rdz * e2x - rdx * e2z
+            pvz = rdx * e2y - rdy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz         # (P, LN, R)
+            nondegen = jnp.abs(det) > geometry.TRI_EPS
+            invd = 1.0 / jnp.where(nondegen, det, 1.0)
+            # tvec = o - v0
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            # qvec = tvec x e1
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (rdx * qvx + rdy * qvy + rdz * qvz) * invd
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+            valid = (
+                nondegen & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > T_MIN) & (t < t_best[:, None, :])
+                & pending[:, None, None]
+            )
+            t = jnp.where(valid, t, INF)
+            tj = jnp.min(t, axis=1)                         # (P, R)
+            j = jnp.argmin(t, axis=1)
+            better = tj < t_best
+
+            # per-leaf-tri geometric normals (P, LN), winner-select via
+            # one-hot
+            gnx = e1y[:, :, 0] * e2z[:, :, 0] - e1z[:, :, 0] * e2y[:, :, 0]
+            gny = e1z[:, :, 0] * e2x[:, :, 0] - e1x[:, :, 0] * e2z[:, :, 0]
+            gnz = e1x[:, :, 0] * e2y[:, :, 0] - e1y[:, :, 0] * e2x[:, :, 0]
+            glen = jnp.sqrt(jnp.maximum(gnx**2 + gny**2 + gnz**2, 1e-24))
+            gnx, gny, gnz = gnx / glen, gny / glen, gnz / glen
+
+            onehot = jnp.arange(LN)[None, :, None] == j[:, None, :]
+            ohf = onehot.astype(jnp.float32)
+            w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
+            w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
+            w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
+            w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0), axis=1)
+
+            t_best = jnp.where(better, tj, t_best)
+            nx = jnp.where(better, w_nx, nx)
+            ny = jnp.where(better, w_ny, ny)
+            nz = jnp.where(better, w_nz, nz)
+            m_best = jnp.where(better, w_m, m_best)
+            found = found | better
+
+            nxt = jnp.where((skip < 0) | (skip >= end), -1, skip)
+            node = jnp.where(pending, nxt, node)
+
+            if sync_k is not None:
+                # merge t windows AND winner attributes across the sync_k
+                # virtual packets sharing each ray set, so every cursor
+                # prunes with the global best and the final state is
+                # identical in every block (block 0 is returned).
+                k = sync_k
+                cp = pp // k
+
+                def blk(a):
+                    return a.reshape(k, cp, PACKET_R)
+
+                tb = blk(t_best)
+                am = jnp.argmin(tb, axis=0)                 # (cp, R)
+                oh = jnp.arange(k)[:, None, None] == am[None]
+                ohff = oh.astype(jnp.float32)
+
+                def msel(a):
+                    return jnp.tile(jnp.sum(blk(a) * ohff, axis=0), (k, 1))
+
+                t_best = jnp.tile(jnp.min(tb, axis=0), (k, 1))
+                nx, ny, nz = msel(nx), msel(ny), msel(nz)
+                m_best = jnp.tile(
+                    jnp.sum(jnp.where(oh, blk(m_best), 0), axis=0), (k, 1)
+                )
+                found = jnp.tile(
+                    jnp.any(blk(found) & oh, axis=0), (k, 1)
+                )
+
+            return (node, end, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+                    t_best, nx, ny, nz, m_best, found, it_outer, it_adv)
+
+        return outer
+
+    outer = make_outer()
+    outer_mc = make_outer(sync_k=MC_K)
+
+    def cond(st):
+        return jnp.any(st[0] >= 0)
+
+    def mc_finish(st):
+        """Terminal narrow stage: re-launch every still-active packet as
+        MC_K virtual packets, one per precomputed subtree span (carrying
+        the shrunken t windows, so most of the redone walk prunes away).
+        The K independent gather chains overlap, dividing the serial
+        latency chain by ~K."""
+        (node, end, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
          t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
-        pp = node.shape[0]
-        oxs = (sox, soy, soz)
-        ixs = (six, siy, siz)
-        if with_counters:
-            it_outer = it_outer + 1
+        cp = node.shape[0]
+        cut = scene.pk_cut                              # (MC_K, 2)
+        active = node >= 0                              # (cp,)
 
-        # Phase A: a FIXED ADV_STEPS node steps per round (packets that
-        # land on a hit leaf stall as pending; finished packets stall too).
-        # Fixed-trip beats "advance until every packet is pending": the
-        # latter synchronizes all packets on the slowest one's next-leaf
-        # distance every round.
-        def adv_step(nd, pending):
-            act = (nd >= 0) & ~pending
-            rows, skip, meta = node_fields(jnp.maximum(nd, 0))
-            hit_any = slab_any(rows, t_best, oxs, ixs) & act
-            is_leaf = (meta & 1) == 1
-            stop = hit_any & is_leaf                        # becomes pending
-            nxt = jnp.where(hit_any & ~is_leaf, nd + 1, skip)
-            nd = jnp.where(act & ~stop, nxt, nd)
-            return nd, pending | stop
+        def t8(a):
+            return jnp.tile(a, (MC_K, 1))
 
-        pending = jnp.zeros(pp, bool)
-        for _ in range(ADV_STEPS):
-            node, pending = adv_step(node, pending)
-        if with_counters:
-            it_adv = it_adv + ADV_STEPS
-
-        # Phase B: every pending packet intersects its full PACKET_LEAF_N-
-        # triangle leaf row against all member rays, densely (Möller–Trumbore
-        # written out componentwise over (P, LN, R) scalar arrays).
-        _, skip, meta = node_fields(jnp.maximum(node, 0))
-        row_id = jnp.where(pending, meta >> 1, 0)
-        tri = leaves[row_id].reshape(pp, LN, 10)            # one row gather
-
-        def tc(k):                                          # (P, LN, 1)
-            return tri[:, :, k][:, :, None]
-
-        v0x, v0y, v0z = tc(0), tc(1), tc(2)
-        e1x, e1y, e1z = tc(3), tc(4), tc(5)
-        e2x, e2y, e2z = tc(6), tc(7), tc(8)
-        matb = jax.lax.bitcast_convert_type(tri[:, :, 9], jnp.int32)
-
-        rdx, rdy, rdz = sdx[:, None, :], sdy[:, None, :], sdz[:, None, :]
-        rox, roy, roz = sox[:, None, :], soy[:, None, :], soz[:, None, :]
-
-        # pvec = d x e2
-        pvx = rdy * e2z - rdz * e2y
-        pvy = rdz * e2x - rdx * e2z
-        pvz = rdx * e2y - rdy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz             # (P, LN, R)
-        nondegen = jnp.abs(det) > geometry.TRI_EPS
-        invd = 1.0 / jnp.where(nondegen, det, 1.0)
-        # tvec = o - v0
-        tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
-        # qvec = tvec x e1
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (rdx * qvx + rdy * qvy + rdz * qvz) * invd
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
-        valid = (
-            nondegen & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t > T_MIN) & (t < t_best[:, None, :])
-            & pending[:, None, None]
+        node_v = jnp.repeat(cut[:, 0], cp)              # (K*cp,)
+        node_v = jnp.where(
+            (node_v < 0) | ~jnp.tile(active, MC_K), -1, node_v
         )
-        t = jnp.where(valid, t, INF)
-        tj = jnp.min(t, axis=1)                             # (P, R)
-        j = jnp.argmin(t, axis=1)
-        better = tj < t_best
-
-        # per-leaf-tri geometric normals (P, LN), winner-select via one-hot
-        gnx = e1y[:, :, 0] * e2z[:, :, 0] - e1z[:, :, 0] * e2y[:, :, 0]
-        gny = e1z[:, :, 0] * e2x[:, :, 0] - e1x[:, :, 0] * e2z[:, :, 0]
-        gnz = e1x[:, :, 0] * e2y[:, :, 0] - e1y[:, :, 0] * e2x[:, :, 0]
-        glen = jnp.sqrt(jnp.maximum(gnx**2 + gny**2 + gnz**2, 1e-24))
-        gnx, gny, gnz = gnx / glen, gny / glen, gnz / glen
-
-        onehot = jnp.arange(LN)[None, :, None] == j[:, None, :]  # (P,LN,R)
-        ohf = onehot.astype(jnp.float32)
-        w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
-        w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
-        w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
-        w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0), axis=1)
-
-        t_best = jnp.where(better, tj, t_best)
-        nx = jnp.where(better, w_nx, nx)
-        ny = jnp.where(better, w_ny, ny)
-        nz = jnp.where(better, w_nz, nz)
-        m_best = jnp.where(better, w_m, m_best)
-        found = found | better
-
-        node = jnp.where(pending, skip, node)
-        return (node, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
-                t_best, nx, ny, nz, m_best, found, it_outer, it_adv)
+        end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
+        stv = (node_v, end_v,
+               t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
+               t8(six), t8(siy), t8(siz),
+               t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(found),
+               it_outer, it_adv)
+        stv = jax.lax.while_loop(cond, outer_mc, stv)
+        out = [jnp.full(cp, -1, jnp.int32), end]
+        out += [a for a in (sox, soy, soz, sdx, sdy, sdz, six, siy, siz)]
+        out += [a[:cp] for a in stv[11:17]]
+        out += [stv[17], stv[18]]
+        return tuple(out)
 
     def run_stages(state, caps):
         """Tail compaction: traversal rounds cost O(live packet set), but a
-        while_loop's shapes are fixed — so run the loop in STAGES. Each
+        while_loop's shapes are fixed -- so run the loop in STAGES. Each
         stage loops until the active-packet count fits the next capacity,
-        then gathers the still-active packets' rows (cheap 512-byte row
+        then gathers the still-active packets' rows (cheap (P,128)-row
         gathers) into half-size arrays and recurses; results scatter back
-        on return. The long tail of straggler packets — which otherwise
-        gates hundreds of full-size rounds — finishes on 1/8-size arrays."""
+        on return. The long tail of straggler packets -- which otherwise
+        gates hundreds of full-size rounds -- finishes on 1/8-size arrays.
+
+        Multi-cursor is NOT engaged mid-walk here: measured on c3, re-
+        launching partially-walked straggler packets from the subtree cut
+        redoes exactly the most expensive unions (the carried t window
+        prunes too little on sparse-live packets) and lost ~40%. MC runs
+        only for traversals that START narrow (see packet entry below)."""
         if not caps:
-            return jax.lax.while_loop(
-                lambda st: jnp.any(st[0] >= 0), outer, state
-            )
+            return jax.lax.while_loop(cond, outer, state)
         cap = caps[0]
         if state[0].shape[0] <= cap:
             return run_stages(state, caps[1:])
 
-        def cond(st):
+        def cond2(st):
             act = st[0] >= 0
             return jnp.any(act) & (jnp.sum(act) > cap)
 
-        state = jax.lax.while_loop(cond, outer, state)
+        state = jax.lax.while_loop(cond2, outer, state)
         order = jnp.argsort(
             jnp.where(state[0] >= 0, 0, 1).astype(jnp.int32), stable=True
         )
@@ -309,6 +407,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     zero = jnp.zeros((p, PACKET_R), jnp.float32)
     init = (
         base,
+        jnp.full(p, n_total, jnp.int32),
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         t_max.reshape(p, PACKET_R),
         zero, zero, zero,
@@ -319,8 +418,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     )
     caps = [c for c in (p // 2, p // 4, p // 8, p // 16, p // 32,
                         p // 64) if c >= 8]
-    final = run_stages(init, caps)
-    (_, _, _, _, _, _, _, _, _, _,
+    if use_mc and p <= MC_PACKETS:
+        # a traversal that STARTS narrow (deep-bounce tail batches) is
+        # fresh work — K overlapped cursor chains, no redo (measured 1.4x
+        # at 16 packets on fully divergent rays)
+        final = mc_finish(init)
+    else:
+        final = run_stages(init, caps)
+    (_, _, _, _, _, _, _, _, _, _, _,
      t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = final
     n_best = jnp.stack(
         [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1
@@ -330,5 +435,3 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     if with_counters:
         return out + (it_outer, it_adv)
     return out
-
-

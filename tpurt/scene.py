@@ -68,6 +68,7 @@ class Scene(NamedTuple):
     # optional packet-traversal layout (bvh.PacketBVH; the device fast path)
     pk_nodes: Optional[np.ndarray]   # (M,8) f32
     pk_leaves: Optional[np.ndarray]  # (L,160) f32
+    pk_cut: Optional[np.ndarray]     # (8,2) i32 subtree cut (bvh.PacketBVH)
 
     @property
     def has_bvh(self) -> bool:
@@ -173,10 +174,10 @@ class SceneBuilder:
             use_bvh = False
 
         blo = bhi = bskip = bfirst = bcount = None
-        pk_nodes = pk_leaves = None
+        pk_nodes = pk_leaves = pk_cut = None
         if use_bvh:
             pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
-            pk_nodes, pk_leaves = pk.nodes, pk.leaves
+            pk_nodes, pk_leaves, pk_cut = pk.nodes, pk.leaves, pk.cut
             tree = bvh_mod.build(tv0, tv1, tv2, tm)
             # the BVH's leaf-padded soup replaces the raw soup so brute and
             # BVH paths intersect identical triangle tables
@@ -212,7 +213,7 @@ class SceneBuilder:
             sky_a=self.sky_a, sky_b=self.sky_b,
             bvh_lo=blo, bvh_hi=bhi, bvh_skip=bskip,
             bvh_first=bfirst, bvh_count=bcount,
-            pk_nodes=pk_nodes, pk_leaves=pk_leaves,
+            pk_nodes=pk_nodes, pk_leaves=pk_leaves, pk_cut=pk_cut,
         )
 
 
