@@ -83,45 +83,47 @@ def bvh_nearest_tri(scene: Scene, o, d, t_max):
 
 
 PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
-USE_OCTANT_LAYOUTS = False  # see packet_nearest_tri; wins only with resort
-ADV_STEPS = 8  # fixed node steps per traversal round (tuned on TPU v5e)
-MC_PACKETS = 64  # stages at/below this packet count switch to multi-cursor
-MC_K = 8         # cursors per packet in the multi-cursor tail
+ADV_STEPS = 6  # node steps per traversal round (tuned on TPU v5e, CIP layout)
+MC_PACKETS = 64  # traversals STARTING at <= this packet count go multi-cursor
+MC_K = 8         # cursors per packet in the multi-cursor mode
 
 
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
-    """Packet traversal over the PacketBVH layout (bvh.PacketBVH).
+    """Packet traversal over the child-in-parent layout (bvh.PacketBVH).
 
     Design rationale (measured on this TPU, see SURVEY.md SS7 hard part 1):
     XLA row-gathers cost ~3-8 ns per row nearly independent of row width,
     so per-ray traversal is gather-latency-bound at ~2 Mrays/s. Here ONE
-    traversal cursor serves a packet of PACKET_R rays -- the classic packet
+    traversal cursor serves a packet of PACKET_R rays — the classic packet
     traversal reborn for a vector machine:
 
-      * one (P, 8) node-row gather per visited node (P = N/128 packets),
-        i.e. ~100x fewer gather rows than per-ray traversal;
-      * the packet enters a subtree if ANY member ray hits the box
+      * one (P, 16) node-row gather per visited INNER node tests BOTH
+        children's boxes (P = N/128 packets); missed subtrees are never
+        entered, and leaf children enqueue with no node visit at all
+        (the CIP layout, bvh.PacketBVH);
+      * the packet enters a subtree if ANY member ray hits its box
         (conservative union); per-ray t windows still prune;
       * leaf visits gather one row holding all PACKET_LEAF_N triangles
         (40 bytes each) and intersect them against all 128 rays as dense
-        (P, LN, R) math on the VPU -- no per-ray memory access at all.
+        (P, LN, R) math on the VPU — no per-ray memory access at all.
 
-    Round structure (re-tuned this round): each round advances every
-    active cursor ADV_STEPS nodes, then intersects every pending packet's
-    leaf row. A round has a hard LATENCY floor (~12 us at 16 packets --
-    the in-round gathers form a serial dependence chain), so the tail is
-    round-count-bound, not width-bound. Two mitigations:
+    Round structure: each round advances every active cursor ADV_STEPS
+    nodes (a cursor holding a pending leaf stalls), then intersects every
+    packet's pending leaf row. A round has a hard LATENCY floor (~12 us
+    at 16 packets — the in-round gathers form a serial dependence chain),
+    so the tail is round-count-bound, not width-bound. Mitigations:
 
       * staged tail compaction (run_stages): rounds cost O(live packet
         set), so still-active packets are gathered into half-size arrays
         as the set shrinks (cheap (P,128)-row gathers; (N,)-row ray
         permutes measured ~9 ns/row = ~11 ms at 131k and are NOT used);
-      * multi-cursor tail (_mc_finish): once a stage is narrow
-        (<= MC_PACKETS), each packet re-launches MC_K cursors, one per
-        precomputed subtree of the tree (bvh cut), carrying its shrunken
-        t window. The K gather chains are independent and overlap, so the
-        serial chain -- and the round count -- divides by ~K. Re-launch
-        redoes part of the walk, but the carried t_best prunes most of it.
+      * multi-cursor mode for traversals that START narrow (deep-bounce
+        tail batches): each packet runs MC_K cursors, one per precomputed
+        subtree row span (bvh cut), with per-round t-window/attribute
+        sync. The K gather chains are independent and overlap, dividing
+        the serial chain — and the round count — by ~K. Engaging this
+        mid-walk instead was measured a 40% LOSS on c3 (it re-does
+        exactly the straggler unions), so it is entry-only.
 
     Returns per-ray (t, normal, mat, found) for the N input rays.
     """
@@ -140,7 +142,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     p = o.shape[0] // PACKET_R
 
     # Fully scalar SoA: every hot array is (P, R) or (P, LN, R) so the lane
-    # dimension is R=128 -- a trailing xyz dim of 3 would be padded to the
+    # dimension is R=128 — a trailing xyz dim of 3 would be padded to the
     # 128-lane tile and blow memory traffic up ~40x (measured: the packed
     # variant collapsed from 17.7 to 0.2 Mrays/s at 1M rays).
     ox, oy, oz = (o[:, k].reshape(p, PACKET_R) for k in range(3))
@@ -152,41 +154,24 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-    nodes = scene.pk_nodes                         # (8*M, 8)
+    nodes = scene.pk_nodes                         # (Mi, 16)
     leaves = scene.pk_leaves                       # (L, LN*10)
     n_total = nodes.shape[0]
-    m_nodes = n_total // 8
-    use_mc = scene.pk_cut is not None and not USE_OCTANT_LAYOUTS
-
-    if USE_OCTANT_LAYOUTS:
-        # Each packet traverses the DFS layout ordered for its MAJORITY
-        # direction octant (near child first -> early hits -> t pruning).
-        # Measured: a LOSS for mixed-octant packets (minority rays
-        # traverse anti-ordered, growing the union), a win only when rays
-        # are pre-sorted by octant -- hence the flag.
-        neg_x = (dx < 0).astype(jnp.int32)
-        neg_y = (dy < 0).astype(jnp.int32)
-        neg_z = (dz < 0).astype(jnp.int32)
-        oct_ray = neg_x + 2 * neg_y + 4 * neg_z    # (P, R)
-        counts = jnp.sum(
-            oct_ray[:, :, None] == jnp.arange(8)[None, None, :], axis=1
-        )                                          # (P, 8)
-        base = jnp.argmax(counts, axis=-1).astype(jnp.int32) * m_nodes
-    else:
-        base = jnp.zeros(p, jnp.int32)
+    use_mc = scene.pk_cut is not None
 
     def node_fields(nid):
-        rows = nodes[nid]                          # (..., 8)
-        skip = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
-        meta = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
-        return rows, skip, meta
+        rows = nodes[nid]                          # (P, 16)
+        m_l = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
+        m_r = jax.lax.bitcast_convert_type(rows[:, 13], jnp.int32)
+        skip = jax.lax.bitcast_convert_type(rows[:, 14], jnp.int32)
+        return rows, m_l, m_r, skip
 
-    def slab_any(rows, t_best, oxs, ixs):
+    def slab_any(rows, off, t_best, oxs, ixs):
         tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
         tf = t_best
         for k in range(3):
-            t0 = (rows[:, k, None] - oxs[k]) * ixs[k]
-            t1 = (rows[:, k + 3, None] - oxs[k]) * ixs[k]
+            t0 = (rows[:, off + k, None] - oxs[k]) * ixs[k]
+            t1 = (rows[:, off + k + 3, None] - oxs[k]) * ixs[k]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         return jnp.any(tn <= tf, axis=-1)          # (P,)
@@ -197,7 +182,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         the blocks every round (multi-cursor mode)."""
 
         def outer(st):
-            (node, end, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+            (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz,
+             six, siy, siz,
              t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
             pp = node.shape[0]
             oxs = (sox, soy, soz)
@@ -205,34 +191,47 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             if with_counters:
                 it_outer = it_outer + 1
 
-            # Phase A: a FIXED ADV_STEPS node steps per round (packets
-            # that land on a hit leaf stall as pending; finished packets
-            # stall too). Fixed-trip beats "advance until every packet is
-            # pending": the latter synchronizes all packets on the slowest
-            # one's next-leaf distance every round.
-            def adv_step(nd, pending):
-                act = (nd >= 0) & ~pending
-                rows, skip, meta = node_fields(jnp.maximum(nd, 0))
-                hit_any = slab_any(rows, t_best, oxs, ixs) & act
-                is_leaf = (meta & 1) == 1
-                stop = hit_any & is_leaf                    # becomes pending
-                nxt = jnp.where(hit_any & ~is_leaf, nd + 1, skip)
+            # Phase A: ADV_STEPS node steps. Each cursor banks up to TWO
+            # pending leaf rows (p_a then p_b) and keeps advancing; it
+            # stalls only when a visit's enqueues would overflow the free
+            # slots (the visit is then retried after phase B drains p_a).
+            def adv_step(nd, p_a, p_b):
+                act = (nd >= 0) & (p_b < 0)        # >= 1 slot free
+                rows, m_l, m_r, skip = node_fields(jnp.maximum(nd, 0))
+                hit_l = slab_any(rows, 0, t_best, oxs, ixs) & act
+                hit_r = slab_any(rows, 6, t_best, oxs, ixs) & act
+                leaf_l = (m_l & 1) == 1
+                leaf_r = (m_r & 1) == 1
+                e_l = hit_l & leaf_l
+                e_r = hit_r & leaf_r
+                a_free = p_a < 0
+                # overflow: two enqueues with only one free slot
+                ok = act & ~(e_l & e_r & ~a_free)
+                go_l = hit_l & ~leaf_l
+                go_r = hit_r & ~leaf_r
+                nxt = jnp.where(go_l, m_l >> 1,
+                                jnp.where(go_r, m_r >> 1, skip))
                 nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
-                nd = jnp.where(act & ~stop, nxt, nd)
-                return nd, pending | stop
+                first = jnp.where(e_l, m_l >> 1, m_r >> 1)  # first enqueue
+                p_a2 = jnp.where(ok & (e_l | e_r) & a_free, first, p_a)
+                p_b2 = jnp.where(
+                    ok & (e_l | e_r) & ~a_free, first,
+                    jnp.where(ok & e_l & e_r, m_r >> 1, p_b),
+                )
+                nd = jnp.where(ok, nxt, nd)
+                return nd, p_a2, p_b2
 
-            pending = jnp.zeros(pp, bool)
             for _ in range(ADV_STEPS):
-                node, pending = adv_step(node, pending)
+                node, p_a, p_b = adv_step(node, p_a, p_b)
             if with_counters:
                 it_adv = it_adv + ADV_STEPS
 
-            # Phase B: every pending packet intersects its full
-            # PACKET_LEAF_N-triangle leaf row against all member rays,
-            # densely (Moller-Trumbore written out componentwise over
-            # (P, LN, R) scalar arrays).
-            _, skip, meta = node_fields(jnp.maximum(node, 0))
-            row_id = jnp.where(pending, meta >> 1, 0)
+            # Phase B: every packet with a pending leaf intersects its
+            # full PACKET_LEAF_N-triangle leaf row against all member
+            # rays, densely (Moller-Trumbore written out componentwise
+            # over (P, LN, R) scalar arrays).
+            pending = p_a >= 0
+            row_id = jnp.where(pending, p_a, 0)
             tri = leaves[row_id].reshape(pp, LN, 10)        # one row gather
 
             def tc(k):                                      # (P, LN, 1)
@@ -294,8 +293,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             m_best = jnp.where(better, w_m, m_best)
             found = found | better
 
-            nxt = jnp.where((skip < 0) | (skip >= end), -1, skip)
-            node = jnp.where(pending, nxt, node)
+            p_a = jnp.where(pending, p_b, p_a)   # drain: p_b -> p_a
+            p_b = jnp.where(pending, -1, p_b)
 
             if sync_k is not None:
                 # merge t windows AND winner attributes across the sync_k
@@ -325,7 +324,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                     jnp.any(blk(found) & oh, axis=0), (k, 1)
                 )
 
-            return (node, end, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+            return (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz,
+                    six, siy, siz,
                     t_best, nx, ny, nz, m_best, found, it_outer, it_adv)
 
         return outer
@@ -334,15 +334,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     outer_mc = make_outer(sync_k=MC_K)
 
     def cond(st):
-        return jnp.any(st[0] >= 0)
+        return jnp.any((st[0] >= 0) | (st[2] >= 0))
 
     def mc_finish(st):
-        """Terminal narrow stage: re-launch every still-active packet as
-        MC_K virtual packets, one per precomputed subtree span (carrying
-        the shrunken t windows, so most of the redone walk prunes away).
-        The K independent gather chains overlap, dividing the serial
-        latency chain by ~K."""
-        (node, end, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+        """Multi-cursor run for a traversal that STARTS narrow: every
+        packet becomes MC_K virtual packets, one per precomputed subtree
+        row span, sharing (synced) t windows. The K independent gather
+        chains overlap, dividing the serial latency chain by ~K."""
+        (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
          t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
         cp = node.shape[0]
         cut = scene.pk_cut                              # (MC_K, 2)
@@ -356,32 +355,27 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             (node_v < 0) | ~jnp.tile(active, MC_K), -1, node_v
         )
         end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
-        stv = (node_v, end_v,
+        neg = jnp.full(MC_K * cp, -1, jnp.int32)
+        stv = (node_v, end_v, neg, neg,
                t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
                t8(six), t8(siy), t8(siz),
                t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(found),
                it_outer, it_adv)
         stv = jax.lax.while_loop(cond, outer_mc, stv)
-        out = [jnp.full(cp, -1, jnp.int32), end]
+        out = [jnp.full(cp, -1, jnp.int32), end, p_a, p_b]
         out += [a for a in (sox, soy, soz, sdx, sdy, sdz, six, siy, siz)]
-        out += [a[:cp] for a in stv[11:17]]
-        out += [stv[17], stv[18]]
+        out += [a[:cp] for a in stv[13:19]]
+        out += [stv[19], stv[20]]
         return tuple(out)
 
     def run_stages(state, caps):
         """Tail compaction: traversal rounds cost O(live packet set), but a
-        while_loop's shapes are fixed -- so run the loop in STAGES. Each
+        while_loop's shapes are fixed — so run the loop in STAGES. Each
         stage loops until the active-packet count fits the next capacity,
         then gathers the still-active packets' rows (cheap (P,128)-row
         gathers) into half-size arrays and recurses; results scatter back
-        on return. The long tail of straggler packets -- which otherwise
-        gates hundreds of full-size rounds -- finishes on 1/8-size arrays.
-
-        Multi-cursor is NOT engaged mid-walk here: measured on c3, re-
-        launching partially-walked straggler packets from the subtree cut
-        redoes exactly the most expensive unions (the carried t window
-        prunes too little on sparse-live packets) and lost ~40%. MC runs
-        only for traversals that START narrow (see packet entry below)."""
+        on return. The long tail of straggler packets — which otherwise
+        gates hundreds of full-size rounds — finishes on 1/8-size arrays."""
         if not caps:
             return jax.lax.while_loop(cond, outer, state)
         cap = caps[0]
@@ -389,12 +383,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             return run_stages(state, caps[1:])
 
         def cond2(st):
-            act = st[0] >= 0
+            act = (st[0] >= 0) | (st[2] >= 0)
             return jnp.any(act) & (jnp.sum(act) > cap)
 
         state = jax.lax.while_loop(cond2, outer, state)
+        act = (state[0] >= 0) | (state[2] >= 0)
         order = jnp.argsort(
-            jnp.where(state[0] >= 0, 0, 1).astype(jnp.int32), stable=True
+            jnp.where(act, 0, 1).astype(jnp.int32), stable=True
         )
         sel = order[:cap]
         sub = tuple(a if a.ndim == 0 else a[sel] for a in state)
@@ -405,9 +400,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         return tuple(out)
 
     zero = jnp.zeros((p, PACKET_R), jnp.float32)
+    neg1 = jnp.full(p, -1, jnp.int32)
     init = (
-        base,
+        jnp.zeros(p, jnp.int32),
         jnp.full(p, n_total, jnp.int32),
+        neg1, neg1,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         t_max.reshape(p, PACKET_R),
         zero, zero, zero,
@@ -419,14 +416,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     caps = [c for c in (p // 2, p // 4, p // 8, p // 16, p // 32,
                         p // 64) if c >= 8]
     if use_mc and p <= MC_PACKETS:
-        # a traversal that STARTS narrow (deep-bounce tail batches) is
-        # fresh work — K overlapped cursor chains, no redo (measured 1.4x
-        # at 16 packets on fully divergent rays)
         final = mc_finish(init)
     else:
         final = run_stages(init, caps)
-    (_, _, _, _, _, _, _, _, _, _, _,
-     t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = final
+    t_best, nx, ny, nz, m_best, found = final[13:19]
+    it_outer, it_adv = final[19], final[20]
     n_best = jnp.stack(
         [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1
     )
