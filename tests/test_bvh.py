@@ -30,7 +30,7 @@ def test_traversal_matches_brute(micro_mesh, rays_random):
     t_max = jnp.full(o.shape[0], geometry.INF)
     t_bvh, tri = trace.bvh_nearest_tri(sc_bvh.device(), o, d, t_max)
 
-    t_brute, _, _, hit_brute = geometry.hit_triangles_brute(
+    t_brute, _, _, hit_brute, _ = geometry.hit_triangles_brute(
         o, d, jnp.asarray(sc_bvh.tri_v0), jnp.asarray(sc_bvh.tri_e1),
         jnp.asarray(sc_bvh.tri_e2), jnp.asarray(sc_bvh.tri_mat), t_max
     )

@@ -104,25 +104,25 @@ class TestTriangles:
         )
 
     def test_inside(self):
-        t, n, m, hit = self.hit((0.25, 0.25, 3), (0, 0, -1))
+        t, n, m, hit, _ = self.hit((0.25, 0.25, 3), (0, 0, -1))
         assert bool(hit[0]) and np.isclose(float(t[0]), 3.0, atol=1e-5)
         assert np.allclose(np.abs(np.asarray(n[0])), [0, 0, 1], atol=1e-5)
 
     def test_outside_edge(self):
-        _, _, _, hit = self.hit((0.6, 0.6, 3), (0, 0, -1))  # u+v > 1
+        _, _, _, hit, _ = self.hit((0.6, 0.6, 3), (0, 0, -1))  # u+v > 1
         assert not bool(hit[0])
 
     def test_negative_barycentric(self):
-        _, _, _, hit = self.hit((-0.1, 0.25, 3), (0, 0, -1))
+        _, _, _, hit, _ = self.hit((-0.1, 0.25, 3), (0, 0, -1))
         assert not bool(hit[0])
 
     def test_degenerate_is_inert(self):
         z = jnp.zeros((1, 3))
-        _, _, _, hit = self.hit((0.25, 0.25, 3), (0, 0, -1), e1=z, e2=z)
+        _, _, _, hit, _ = self.hit((0.25, 0.25, 3), (0, 0, -1), e1=z, e2=z)
         assert not bool(hit[0])
 
     def test_parallel_ray(self):
-        _, _, _, hit = self.hit((0.25, 0.25, 1), (1, 0, 0))
+        _, _, _, hit, _ = self.hit((0.25, 0.25, 1), (1, 0, 0))
         assert not bool(hit[0])
 
 

@@ -31,7 +31,7 @@ def test_pallas_brute_matches_jnp_brute():
     t_k, n_k, m_k, hit_k = pk.nearest_tri_small(o, d, rows, t_max,
                                                 interpret=interp)
 
-    t_b, n_b, m_b, hit_b = geometry.hit_triangles_brute(
+    t_b, n_b, m_b, hit_b, _ = geometry.hit_triangles_brute(
         o, d, jnp.asarray(scene.tri_v0), jnp.asarray(scene.tri_e1),
         jnp.asarray(scene.tri_e2), jnp.asarray(scene.tri_mat), t_max
     )

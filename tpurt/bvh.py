@@ -110,6 +110,7 @@ class BVH(NamedTuple):
     tri_e1: np.ndarray   # (Tp,3)
     tri_e2: np.ndarray   # (Tp,3)
     tri_mat: np.ndarray  # (Tp,) int32
+    tri_src: np.ndarray  # (Tp,) int32 original triangle index, -1 = padding
 
 
 def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
@@ -179,6 +180,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
     pe1 = np.zeros((n_pad, 3), np.float32)
     pe2 = np.zeros((n_pad, 3), np.float32)
     pmat = np.zeros((n_pad,), np.int32)
+    psrc = np.full((n_pad,), -1, np.int32)
     cursor = 0
     for run in leaf_runs:
         k = run.size
@@ -186,6 +188,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
         pe1[cursor : cursor + k] = v1[run] - v0[run]
         pe2[cursor : cursor + k] = v2[run] - v0[run]
         pmat[cursor : cursor + k] = mat[run]
+        psrc[cursor : cursor + k] = run
         cursor += leaf_n
 
     return BVH(
@@ -198,10 +201,12 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
         tri_e1=pe1,
         tri_e2=pe2,
         tri_mat=pmat,
+        tri_src=psrc,
     )
 
 
 PACKET_LEAF_N = 32
+LEAF_F = 12  # f32 slots per triangle in a packed leaf row
 
 
 class PacketBVH(NamedTuple):
@@ -344,14 +349,19 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
     nodes[:, 14] = skip.view(np.float32)
 
     # --- packed leaf rows ---------------------------------------------------
+    # 12 f32 per triangle: [v0.xyz, e1.xyz, e2.xyz, mat_bits, gid_bits, 0]
+    # where gid is the ORIGINAL triangle index (-1 on padding slots) — the
+    # winner id feeds the optional vn shading-normal lookup (A.5).
     n_rows = len(leaf_runs)
-    leaves = np.zeros((n_rows, leaf_n, 10), np.float32)
+    leaves = np.zeros((n_rows, leaf_n, LEAF_F), np.float32)
+    leaves[:, :, 10] = np.full((n_rows, leaf_n), -1, np.int32).view(np.float32)
     for row, run in enumerate(leaf_runs):
         k = run.size
         leaves[row, :k, 0:3] = v0[run]
         leaves[row, :k, 3:6] = v1[run] - v0[run]
         leaves[row, :k, 6:9] = v2[run] - v0[run]
         leaves[row, :k, 9] = mat[run].view(np.float32)
+        leaves[row, :k, 10] = run.astype(np.int32).view(np.float32)
 
     # --- K-way row-span cut (multi-cursor tail) -----------------------------
     # Split the largest span at its top row: [e, mid) keeps the top row
@@ -379,7 +389,8 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
     for i, (s, e) in enumerate(sorted(pieces)):
         cut[i] = (s, e)
 
-    return PacketBVH(nodes=nodes, leaves=leaves.reshape(n_rows, leaf_n * 10),
+    return PacketBVH(nodes=nodes,
+                     leaves=leaves.reshape(n_rows, leaf_n * LEAF_F),
                      n_nodes=mi, cut=cut)
 
 

@@ -36,6 +36,9 @@ def _build_parser(preset_names) -> argparse.ArgumentParser:
                    default=None)
     r.add_argument("--rr-start", type=int, default=None)
     r.add_argument("--mesh-subdiv", type=int, default=None)
+    r.add_argument("--smooth", action="store_true", default=None,
+                   help="interpolate OBJ vn shading normals (A.5 optional "
+                        "path; errors if the OBJ has no vn records)")
     r.add_argument("--shard", choices=["none", "tiles", "spp"], default=None)
     r.add_argument("--ray-batch", type=int, default=None)
     r.add_argument("--out", type=str, default=None, help="output .ppm path")
@@ -66,7 +69,7 @@ def main(argv=None) -> int:
         "max_depth": args.max_depth, "seed": args.seed, "scene": args.scene,
         "mode": args.mode, "rr_start": args.rr_start,
         "mesh_subdiv": args.mesh_subdiv, "shard": args.shard,
-        "ray_batch": args.ray_batch,
+        "ray_batch": args.ray_batch, "smooth": args.smooth,
     }
     cfg = cfg.replace(**{k: v for k, v in overrides.items() if v is not None})
 

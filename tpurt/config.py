@@ -33,6 +33,9 @@ class RenderConfig:
     ray_batch: int = 1 << 17
     shard: str = "none"                # none | tiles | spp (SURVEY.md §2 table)
     mesh_subdiv: int = 6               # blob resolution (81920 tris at 6)
+    # A.5 optional vn path: interpolate OBJ-provided vertex normals at hits
+    # (flat geometric shading, the decree default, when False or no vn)
+    smooth: bool = False
 
     @property
     def aspect(self) -> float:
@@ -52,8 +55,16 @@ def build_scene(cfg: RenderConfig):
         v, f = meshgen.blob(subdiv=cfg.mesh_subdiv)
         return scene_mod.mesh_scene(cfg.aspect, v, f)
     if cfg.scene.startswith("obj:"):
-        v, f = obj_io.load(cfg.scene[4:])
-        return scene_mod.mesh_scene(cfg.aspect, v, f)
+        m = obj_io.load_mesh(cfg.scene[4:])
+        if cfg.smooth and not m.has_normals:
+            raise ValueError(
+                f"--smooth requested but {cfg.scene[4:]!r} has no vn records"
+            )
+        if cfg.smooth:
+            return scene_mod.mesh_scene(cfg.aspect, m.verts, m.faces,
+                                        normals=m.normals,
+                                        face_vn=m.face_vn)
+        return scene_mod.mesh_scene(cfg.aspect, m.verts, m.faces)
     raise ValueError(f"unknown scene {cfg.scene!r}")
 
 

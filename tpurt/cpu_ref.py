@@ -113,7 +113,8 @@ def _hit_tris_brute(sc: Scene, o, d, t_best, n_best, m_best):
     t_best = np.where(hit, tb, t_best)
     n_best = np.where(hit[:, None], n, n_best)
     m_best = np.where(hit, sc.tri_mat[i], m_best)
-    return t_best, n_best, m_best
+    gid = np.where(hit, i, -1).astype(np.int32)
+    return t_best, n_best, m_best, gid
 
 
 def _hit_tris_bvh(sc: Scene, o, d, t_best, n_best, m_best):
@@ -160,7 +161,10 @@ def _hit_tris_bvh(sc: Scene, o, d, t_best, n_best, m_best):
     t_best = np.where(hit, t_cur, t_best)
     n_best = np.where(hit[:, None], n, n_best)
     m_best = np.where(hit, sc.tri_mat[tc], m_best)
-    return t_best, n_best, m_best
+    gid = np.full(tri.shape, -1, np.int32)
+    if sc.tri_src is not None:
+        gid = np.where(hit, sc.tri_src[tc], -1).astype(np.int32)
+    return t_best, n_best, m_best, gid
 
 
 def _intersect(sc: Scene, o, d):
@@ -171,14 +175,40 @@ def _intersect(sc: Scene, o, d):
     m_best = np.zeros(n_rays, np.int32)
     t_best, n_best, m_best = _hit_spheres(sc, o, d, t_best, n_best, m_best)
     t_best, n_best, m_best = _hit_planes(sc, o, d, t_best, n_best, m_best)
+    t_pre = t_best.copy()
     if sc.bvh_lo is not None:
-        t_best, n_best, m_best = _hit_tris_bvh(sc, o, d, t_best, n_best, m_best)
+        t_best, n_best, m_best, gid = _hit_tris_bvh(sc, o, d, t_best,
+                                                    n_best, m_best)
     else:
-        t_best, n_best, m_best = _hit_tris_brute(sc, o, d, t_best, n_best,
-                                                 m_best)
+        t_best, n_best, m_best, gid = _hit_tris_brute(sc, o, d, t_best,
+                                                      n_best, m_best)
     ok = t_best < INF
     front = (d * n_best).sum(-1) < 0
     n_face = np.where(front[:, None], n_best, -n_best)
+
+    if sc.tri_shn is not None:
+        # A.5 optional vn interpolation — mirrors trace.intersect: the
+        # geometric normal decides front/back; the interpolated normal is
+        # flipped to the same hemisphere. Triangle must have WON (t_best
+        # improved past spheres/planes) and carry a source id.
+        use = (gid >= 0) & (t_best < t_pre)
+        row = sc.tri_shn[np.maximum(gid, 0)]
+        p = o + t_best[:, None] * d
+        tvec = p - row[:, 9:12]
+        e1, e2 = row[:, 12:15], row[:, 15:18]
+        nrm = np.cross(e1, e2)
+        den = (nrm * nrm).sum(-1)
+        den = np.where(den > 0, den, 1.0)
+        u = (np.cross(tvec, e2) * nrm).sum(-1) / den
+        v = (np.cross(e1, tvec) * nrm).sum(-1) / den
+        u = np.clip(u, 0.0, 1.0)
+        v = np.clip(v, 0.0, 1.0 - u)
+        ns = ((1.0 - u - v)[:, None] * row[:, 0:3]
+              + u[:, None] * row[:, 3:6] + v[:, None] * row[:, 6:9])
+        ns = _normalize(ns).astype(F)
+        ns = np.where(front[:, None], ns, -ns)
+        n_face = np.where(use[:, None], ns, n_face)
+
     return t_best, n_face, front, m_best, ok
 
 

@@ -160,7 +160,7 @@ def hit_triangles_brute(o, d, v0, e1, e2, mat_ids, t_max):
     tb = jnp.min(t, axis=0)
     hit = tb < INF
     n = linalg.normalize(jnp.cross(e1[i], e2[i]))
-    return tb, n, mat_ids[i], hit
+    return tb, n, mat_ids[i], hit, i.astype(jnp.int32)
 
 
 def slab_test(o, d_inv, lo, hi, t_min, t_max):

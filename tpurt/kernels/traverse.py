@@ -125,8 +125,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         mid-walk instead was measured a 40% LOSS on c3 (it re-does
         exactly the straggler unions), so it is entry-only.
 
-    Returns per-ray (t, normal, mat, found) for the N input rays.
+    Returns per-ray (t, normal, mat, found, gid) for the N input
+    rays; gid is the original triangle index of the winner (-1 if none) —
+    it feeds the optional vn shading-normal interpolation (A.5).
     """
+    from ..bvh import LEAF_F
     from ..bvh import PACKET_LEAF_N as LN
 
     n = o.shape[0]
@@ -184,7 +187,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         def outer(st):
             (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz,
              six, siy, siz,
-             t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
+             t_best, nx, ny, nz, m_best, g_best, found,
+             it_outer, it_adv) = st
             pp = node.shape[0]
             oxs = (sox, soy, soz)
             ixs = (six, siy, siz)
@@ -232,7 +236,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             # over (P, LN, R) scalar arrays).
             pending = p_a >= 0
             row_id = jnp.where(pending, p_a, 0)
-            tri = leaves[row_id].reshape(pp, LN, 10)        # one row gather
+            tri = leaves[row_id].reshape(pp, LN, LEAF_F)    # one row gather
 
             def tc(k):                                      # (P, LN, 1)
                 return tri[:, :, k][:, :, None]
@@ -241,6 +245,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             e1x, e1y, e1z = tc(3), tc(4), tc(5)
             e2x, e2y, e2z = tc(6), tc(7), tc(8)
             matb = jax.lax.bitcast_convert_type(tri[:, :, 9], jnp.int32)
+            gidb = jax.lax.bitcast_convert_type(tri[:, :, 10], jnp.int32)
 
             rdx, rdy, rdz = sdx[:, None, :], sdy[:, None, :], sdz[:, None, :]
             rox, roy, roz = sox[:, None, :], soy[:, None, :], soz[:, None, :]
@@ -285,12 +290,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
             w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
             w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0), axis=1)
+            w_g = jnp.sum(jnp.where(onehot, gidb[:, :, None], 0), axis=1)
 
             t_best = jnp.where(better, tj, t_best)
             nx = jnp.where(better, w_nx, nx)
             ny = jnp.where(better, w_ny, ny)
             nz = jnp.where(better, w_nz, nz)
             m_best = jnp.where(better, w_m, m_best)
+            g_best = jnp.where(better, w_g, g_best)
             found = found | better
 
             p_a = jnp.where(pending, p_b, p_a)   # drain: p_b -> p_a
@@ -320,13 +327,17 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 m_best = jnp.tile(
                     jnp.sum(jnp.where(oh, blk(m_best), 0), axis=0), (k, 1)
                 )
+                g_best = jnp.tile(
+                    jnp.sum(jnp.where(oh, blk(g_best), 0), axis=0), (k, 1)
+                )
                 found = jnp.tile(
                     jnp.any(blk(found) & oh, axis=0), (k, 1)
                 )
 
             return (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz,
                     six, siy, siz,
-                    t_best, nx, ny, nz, m_best, found, it_outer, it_adv)
+                    t_best, nx, ny, nz, m_best, g_best, found,
+                    it_outer, it_adv)
 
         return outer
 
@@ -342,7 +353,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         row span, sharing (synced) t windows. The K independent gather
         chains overlap, dividing the serial latency chain by ~K."""
         (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
-         t_best, nx, ny, nz, m_best, found, it_outer, it_adv) = st
+         t_best, nx, ny, nz, m_best, g_best, found, it_outer, it_adv) = st
         cp = node.shape[0]
         cut = scene.pk_cut                              # (MC_K, 2)
         active = node >= 0                              # (cp,)
@@ -359,13 +370,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         stv = (node_v, end_v, neg, neg,
                t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
                t8(six), t8(siy), t8(siz),
-               t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(found),
-               it_outer, it_adv)
+               t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(g_best),
+               t8(found), it_outer, it_adv)
         stv = jax.lax.while_loop(cond, outer_mc, stv)
         out = [jnp.full(cp, -1, jnp.int32), end, p_a, p_b]
         out += [a for a in (sox, soy, soz, sdx, sdy, sdz, six, siy, siz)]
-        out += [a[:cp] for a in stv[13:19]]
-        out += [stv[19], stv[20]]
+        out += [a[:cp] for a in stv[13:20]]
+        out += [stv[20], stv[21]]
         return tuple(out)
 
     def run_stages(state, caps):
@@ -409,6 +420,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         t_max.reshape(p, PACKET_R),
         zero, zero, zero,
         jnp.zeros((p, PACKET_R), jnp.int32),
+        jnp.full((p, PACKET_R), -1, jnp.int32),
         jnp.zeros((p, PACKET_R), bool),
         jnp.int32(0),
         jnp.int32(0),
@@ -419,13 +431,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         final = mc_finish(init)
     else:
         final = run_stages(init, caps)
-    t_best, nx, ny, nz, m_best, found = final[13:19]
-    it_outer, it_adv = final[19], final[20]
+    t_best, nx, ny, nz, m_best, g_best, found = final[13:20]
+    it_outer, it_adv = final[20], final[21]
     n_best = jnp.stack(
         [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1
     )
     out = (t_best.reshape(-1)[:n], n_best,
-           m_best.reshape(-1)[:n], found.reshape(-1)[:n])
+           m_best.reshape(-1)[:n], found.reshape(-1)[:n],
+           g_best.reshape(-1)[:n])
     if with_counters:
         return out + (it_outer, it_adv)
     return out

@@ -66,9 +66,16 @@ class Scene(NamedTuple):
     bvh_first: Optional[np.ndarray]  # (B,) i32
     bvh_count: Optional[np.ndarray]  # (B,) i32
     # optional packet-traversal layout (bvh.PacketBVH; the device fast path)
-    pk_nodes: Optional[np.ndarray]   # (M,8) f32
-    pk_leaves: Optional[np.ndarray]  # (L,160) f32
+    pk_nodes: Optional[np.ndarray]   # (M,16) f32
+    pk_leaves: Optional[np.ndarray]  # (L, PACKET_LEAF_N*LEAF_F) f32
     pk_cut: Optional[np.ndarray]     # (8,2) i32 subtree cut (bvh.PacketBVH)
+    # optional vn shading normals (A.5): one 32-f32 row per ORIGINAL
+    # triangle [n0.xyz, n1.xyz, n2.xyz, v0.xyz, e1.xyz, e2.xyz, 14 pad] —
+    # everything the winner-gid interpolation needs in ONE row gather
+    tri_shn: Optional[np.ndarray]    # (T0,32) f32
+    # padded-soup slot -> original triangle index (-1 padding); present
+    # whenever a binary BVH is attached (feeds the per-ray oracle's gid)
+    tri_src: Optional[np.ndarray]    # (Tp,) i32
 
     @property
     def has_bvh(self) -> bool:
@@ -120,8 +127,10 @@ class SceneBuilder:
         n = n / np.linalg.norm(n)
         self._pln.append((n, k, mat))
 
-    def triangle(self, v0, v1, v2, mat: int) -> None:
-        self._tri.append((v0, v1, v2, mat))
+    def triangle(self, v0, v1, v2, mat: int, normals=None) -> None:
+        """normals (optional): (3,3) per-vertex unit shading normals (A.5
+        vn path); None = flat geometric shading for this triangle."""
+        self._tri.append((v0, v1, v2, mat, normals))
 
     def quad(self, corner, edge_u, edge_v, mat: int) -> None:
         """Parallelogram corner + edge_u + edge_v as two triangles."""
@@ -131,10 +140,21 @@ class SceneBuilder:
         self.triangle(c, c + eu, c + eu + ev, mat)
         self.triangle(c, c + eu + ev, c + ev, mat)
 
-    def mesh(self, vertices, faces, mat: int) -> None:
+    def mesh(self, vertices, faces, mat: int,
+             normals=None, face_vn=None) -> None:
+        """normals (VN,3) + face_vn (F,3) — per-corner vn indices from an
+        OBJ (io/obj.Mesh); both None = flat shading (the A.5 default)."""
         v = np.asarray(vertices, np.float64)
-        for f in np.asarray(faces, np.int64):
-            self.triangle(v[f[0]], v[f[1]], v[f[2]], mat)
+        fc = np.asarray(faces, np.int64)
+        if normals is not None and face_vn is not None:
+            nrm = np.asarray(normals, np.float64)
+            fvn = np.asarray(face_vn, np.int64)
+            for f, fn in zip(fc, fvn):
+                self.triangle(v[f[0]], v[f[1]], v[f[2]], mat,
+                              normals=nrm[fn])
+        else:
+            for f in fc:
+                self.triangle(v[f[0]], v[f[1]], v[f[2]], mat)
 
     # -- build ---------------------------------------------------------------
     def build(self, use_bvh: Optional[bool] = None) -> Scene:
@@ -161,11 +181,26 @@ class SceneBuilder:
             pln_k = np.zeros((1,), np.float32)
             pln_m = np.zeros((1,), np.int32)
 
+        tri_shn = None
         if self._tri:
             tv0 = np.asarray([t[0] for t in self._tri], np.float32)
             tv1 = np.asarray([t[1] for t in self._tri], np.float32)
             tv2 = np.asarray([t[2] for t in self._tri], np.float32)
             tm = np.asarray([t[3] for t in self._tri], np.int32)
+            if any(t[4] is not None for t in self._tri):
+                # triangles without vn fall back to their geometric normal
+                # (interpolation then reproduces flat shading exactly)
+                geo = np.cross(tv1 - tv0, tv2 - tv0)
+                geo /= np.maximum(
+                    np.linalg.norm(geo, axis=-1, keepdims=True), 1e-12)
+                tri_shn = np.zeros((len(self._tri), 32), np.float32)
+                for i, t in enumerate(self._tri):
+                    ns = np.broadcast_to(geo[i], (3, 3)) if t[4] is None \
+                        else np.asarray(t[4], np.float64)
+                    tri_shn[i, 0:9] = np.asarray(ns, np.float32).reshape(9)
+                tri_shn[:, 9:12] = tv0
+                tri_shn[:, 12:15] = tv1 - tv0
+                tri_shn[:, 15:18] = tv2 - tv0
         else:  # inert: zero edges -> |det| <= TRI_EPS always
             tv0 = np.zeros((1, 3), np.float32)
             tv1 = np.zeros((1, 3), np.float32)
@@ -175,6 +210,7 @@ class SceneBuilder:
 
         blo = bhi = bskip = bfirst = bcount = None
         pk_nodes = pk_leaves = pk_cut = None
+        tri_src = None
         if use_bvh:
             pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
             pk_nodes, pk_leaves, pk_cut = pk.nodes, pk.leaves, pk.cut
@@ -184,6 +220,7 @@ class SceneBuilder:
             tri_v0, tri_e1, tri_e2, tri_m = (
                 tree.tri_v0, tree.tri_e1, tree.tri_e2, tree.tri_mat,
             )
+            tri_src = tree.tri_src
             blo, bhi = tree.lo, tree.hi
             bskip, bfirst, bcount = tree.skip, tree.first, tree.count
         else:
@@ -191,6 +228,8 @@ class SceneBuilder:
             tri_e1 = tv1 - tv0
             tri_e2 = tv2 - tv0
             tri_m = tm
+            if tri_shn is not None:
+                tri_src = np.arange(tv0.shape[0], dtype=np.int32)
 
         mat_t = np.asarray([m[0] for m in self._mat], np.int32)
         mat_a = np.asarray([m[1] for m in self._mat], np.float32)
@@ -214,6 +253,7 @@ class SceneBuilder:
             bvh_lo=blo, bvh_hi=bhi, bvh_skip=bskip,
             bvh_first=bfirst, bvh_count=bcount,
             pk_nodes=pk_nodes, pk_leaves=pk_leaves, pk_cut=pk_cut,
+            tri_shn=tri_shn, tri_src=tri_src,
         )
 
 
@@ -262,8 +302,8 @@ def cornell(aspect: float) -> tuple[Scene, Camera]:
     return b.build(use_bvh=False), cam
 
 
-def mesh_scene(aspect: float, vertices, faces,
-               use_bvh: bool = True) -> tuple[Scene, Camera]:
+def mesh_scene(aspect: float, vertices, faces, use_bvh: bool = True,
+               normals=None, face_vn=None) -> tuple[Scene, Camera]:
     """Config 3 family: a triangle mesh on a ground plane, metal + glass
     companions, gradient sky. Camera auto-framed from the mesh bounds."""
     b = SceneBuilder(sky=True)
@@ -277,7 +317,7 @@ def mesh_scene(aspect: float, vertices, faces,
     center = (lo + hi) / 2
     extent = float((hi - lo).max())
     b.plane((0, 1, 0), float(lo[1]), ground)
-    b.mesh(v, faces, body)
+    b.mesh(v, faces, body, normals=normals, face_vn=face_vn)
     b.sphere(center + np.array([-0.9, 0.05, 0.35]) * extent,
              0.3 * extent, mirror)
     b.sphere(center + np.array([0.9, 0.05, -0.15]) * extent,

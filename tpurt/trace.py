@@ -72,8 +72,9 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
     n_best = jnp.where(closer[:, None], np_, n_best)
     m_best = jnp.where(closer, mp, m_best)
 
+    gid = None
     if scene.pk_nodes is not None:
-        tt, nt, mt, ht = packet_nearest_tri(scene, o, d, t_best)
+        tt, nt, mt, ht, gid = packet_nearest_tri(scene, o, d, t_best)
     elif scene.has_bvh:
         tt, tri = bvh_nearest_tri(scene, o, d, t_best)
         ht = tri >= 0
@@ -82,6 +83,8 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
             jnp.cross(scene.tri_e1[tri_c], scene.tri_e2[tri_c])
         )
         mt = scene.tri_mat[tri_c]
+        if scene.tri_src is not None:
+            gid = jnp.where(ht, scene.tri_src[tri_c], -1)
     elif (intersect_k.ENABLE
           and scene.tri_v0.shape[0] <= intersect_k.MAX_TRIS
           and jax.default_backend() == "tpu"):
@@ -101,10 +104,12 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
         )
         tt, nt, mt, ht = intersect_k.nearest_tri_small(o, d, rows, t_best)
     else:
-        tt, nt, mt, ht = geometry.hit_triangles_brute(
+        tt, nt, mt, ht, tri = geometry.hit_triangles_brute(
             o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mat,
             t_best,
         )
+        if scene.tri_src is not None:
+            gid = jnp.where(ht, scene.tri_src[tri], -1)
     closer = ht & (tt < t_best)
     t_best = jnp.where(closer, tt, t_best)
     n_best = jnp.where(closer[:, None], nt, n_best)
@@ -113,6 +118,34 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
     hit = t_best < INF
     front = jnp.sum(d * n_best, axis=-1) < 0.0
     n_face = jnp.where(front[:, None], n_best, -n_best)
+
+    if scene.tri_shn is not None and gid is not None:
+        # A.5 optional vn path: interpolate the winner triangle's vertex
+        # normals at the hit's barycentrics. One (N,32) row gather supplies
+        # normals AND the triangle (v0,e1,e2) for the u,v recompute; the
+        # geometric normal still decides front/back (and the interpolated
+        # normal is flipped to the same hemisphere).
+        use = closer & (gid >= 0)
+        row = scene.tri_shn[jnp.maximum(gid, 0)]          # (N,32)
+        p = o + t_best[:, None] * d
+        tvec = p - row[:, 9:12]
+        e1, e2 = row[:, 12:15], row[:, 15:18]
+        nrm = jnp.cross(e1, e2)
+        den = jnp.sum(nrm * nrm, axis=-1)
+        den = jnp.where(den > 0, den, 1.0)
+        u = jnp.sum(jnp.cross(tvec, e2) * nrm, axis=-1) / den
+        v = jnp.sum(jnp.cross(e1, tvec) * nrm, axis=-1) / den
+        u = jnp.clip(u, 0.0, 1.0)
+        v = jnp.clip(v, 0.0, 1.0 - u)
+        ns = (
+            (1.0 - u - v)[:, None] * row[:, 0:3]
+            + u[:, None] * row[:, 3:6]
+            + v[:, None] * row[:, 6:9]
+        )
+        ns = linalg.normalize(ns)
+        ns = jnp.where(front[:, None], ns, -ns)
+        n_face = jnp.where(use[:, None], ns, n_face)
+
     return Hit(t=t_best, n=n_face, front=front, mat=m_best, ok=hit)
 
 
