@@ -47,3 +47,60 @@ def device_time(fn, *args, iters: int = 10, reps: int = 3,
         float(jnp.asarray(jax.tree.leaves(out)[0], jnp.float32).sum())
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def device_time_fused(fn, *args, iters: int = 256, reps: int = 5) -> float:
+    """Per-call seconds via a two-point in-jit loop slope.
+
+    The chained-dispatch protocol above can't resolve sub-millisecond
+    kernels: this relay has a ~28-30 ms dispatch+sync floor, so per-call =
+    total/iters is floor-dominated for any fast kernel. Here fn runs in a
+    lax.fori_loop with a TRACED trip count (one compile), serialized
+    through optimization_barrier (opaque to CSE) with a full-array
+    reduction keeping outputs live; timing the same program at `iters` and
+    `2*iters` and taking the slope cancels every constant overhead —
+    dispatch, sync, argument upload — exactly.
+    """
+    def perturb(a, z):
+        """Add an opaque zero to every float-array leaf: inputs now depend
+        on the previous iteration's output, so XLA can neither hoist the
+        loop-invariant fn call (LICM) nor fold the chain away."""
+        done = False
+        out = []
+        for leaf in a:
+            arr = jnp.asarray(leaf)
+            if not done and jnp.issubdtype(arr.dtype, jnp.floating):
+                out.append(arr + z.astype(arr.dtype))
+                done = True
+            else:
+                out.append(leaf)
+        return tuple(out)
+
+    @jax.jit
+    def run(n, a):
+        def body(_, carry):
+            acc, ar = carry
+            out = fn(*ar)
+            acc = acc + jnp.asarray(jax.tree.leaves(out)[0],
+                                    jnp.float32).sum()
+            # clip so an inf-valued accumulator (e.g. summed sentinel INFs)
+            # can't turn the opaque zero into a value-changing NaN
+            z = jax.lax.optimization_barrier(
+                jnp.clip(acc, -1e30, 1e30) * 0.0)
+            return acc, perturb(ar, z)
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0), a))[0]
+
+    float(run(jnp.int32(2), args))  # compile + warm
+    lo = []
+    hi = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(jnp.int32(iters), args))
+        t1 = time.perf_counter()
+        float(run(jnp.int32(2 * iters), args))
+        t2 = time.perf_counter()
+        lo.append(t1 - t0)
+        hi.append(t2 - t1)
+    lo.sort()
+    hi.sort()
+    return (hi[len(hi) // 2] - lo[len(lo) // 2]) / iters

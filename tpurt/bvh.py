@@ -229,9 +229,13 @@ class PacketBVH(NamedTuple):
         skip chain, and a right child whose box missed costs at most one
         wasted visit (its children's boxes are contained, so they miss
         too).
-      leaves: (L, PACKET_LEAF_N * 10) f32 — per leaf row, PACKET_LEAF_N
-        triangles of [v0.xyz, e1.xyz, e2.xyz, mat_bits], padded with
-        degenerate triangles: one row gather yields the whole leaf.
+      leaves: (L, LEAF_F * PACKET_LEAF_N) f32 — per leaf row, PACKET_LEAF_N
+        triangles COMPONENT-MAJOR: [all v0x, all v0y, ..., all mat_bits,
+        all gid_bits, pad], padded with degenerate triangles. One row
+        gather yields the whole leaf; component-major means consumers
+        (XLA leaf phase and the Pallas kernel, kernels/leaf.py) slice 2D
+        (P, LN) component blocks with no reshape — Mosaic cannot lower a
+        (P, LN*F)->(P, LN, F) shape cast, and XLA gets contiguous slices.
       cut: (8, 2) int32 — 8 disjoint [start, end) row spans covering all
         inner rows, balanced by row count, for the multi-cursor tail
         (kernels/traverse.py): K independent gather chains overlap,
@@ -349,19 +353,20 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
     nodes[:, 14] = skip.view(np.float32)
 
     # --- packed leaf rows ---------------------------------------------------
-    # 12 f32 per triangle: [v0.xyz, e1.xyz, e2.xyz, mat_bits, gid_bits, 0]
-    # where gid is the ORIGINAL triangle index (-1 on padding slots) — the
-    # winner id feeds the optional vn shading-normal lookup (A.5).
+    # component-major, 12 f32 slots per triangle: slot k holds component k
+    # of ALL leaf_n triangles — [v0.xyz, e1.xyz, e2.xyz, mat_bits,
+    # gid_bits, 0]; gid is the ORIGINAL triangle index (-1 on padding
+    # slots) and feeds the optional vn shading-normal lookup (A.5).
     n_rows = len(leaf_runs)
-    leaves = np.zeros((n_rows, leaf_n, LEAF_F), np.float32)
-    leaves[:, :, 10] = np.full((n_rows, leaf_n), -1, np.int32).view(np.float32)
+    leaves = np.zeros((n_rows, LEAF_F, leaf_n), np.float32)
+    leaves[:, 10, :] = np.full((n_rows, leaf_n), -1, np.int32).view(np.float32)
     for row, run in enumerate(leaf_runs):
         k = run.size
-        leaves[row, :k, 0:3] = v0[run]
-        leaves[row, :k, 3:6] = v1[run] - v0[run]
-        leaves[row, :k, 6:9] = v2[run] - v0[run]
-        leaves[row, :k, 9] = mat[run].view(np.float32)
-        leaves[row, :k, 10] = run.astype(np.int32).view(np.float32)
+        leaves[row, 0:3, :k] = v0[run].T
+        leaves[row, 3:6, :k] = (v1[run] - v0[run]).T
+        leaves[row, 6:9, :k] = (v2[run] - v0[run]).T
+        leaves[row, 9, :k] = mat[run].view(np.float32)
+        leaves[row, 10, :k] = run.astype(np.int32).view(np.float32)
 
     # --- K-way row-span cut (multi-cursor tail) -----------------------------
     # Split the largest span at its top row: [e, mid) keeps the top row
@@ -390,7 +395,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
         cut[i] = (s, e)
 
     return PacketBVH(nodes=nodes,
-                     leaves=leaves.reshape(n_rows, leaf_n * LEAF_F),
+                     leaves=leaves.reshape(n_rows, LEAF_F * leaf_n),
                      n_nodes=mi, cut=cut)
 
 

@@ -35,16 +35,19 @@ INF = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 def _kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tin_ref, pend_ref,
             t_ref, nx_ref, ny_ref, nz_ref, m_ref, g_ref):
-    tri = tri_ref[:].reshape(PB, LN, LEAF_F)
-
+    # component-major leaf rows: slot k = component k of all LN triangles,
+    # so every access is a plain 2D slice (Mosaic cannot lower a
+    # (PB, LN*F) -> (PB, LN, F) shape cast).
     def tc(k):
-        return tri[:, :, k][:, :, None]                   # (PB, LN, 1)
+        return tri_ref[:, k * LN:(k + 1) * LN][:, :, None]  # (PB, LN, 1)
 
     v0x, v0y, v0z = tc(0), tc(1), tc(2)
     e1x, e1y, e1z = tc(3), tc(4), tc(5)
     e2x, e2y, e2z = tc(6), tc(7), tc(8)
-    matb = jax.lax.bitcast_convert_type(tri[:, :, 9], jnp.int32)
-    gidb = jax.lax.bitcast_convert_type(tri[:, :, 10], jnp.int32)
+    matb = jax.lax.bitcast_convert_type(tri_ref[:, 9 * LN:10 * LN],
+                                        jnp.int32)
+    gidb = jax.lax.bitcast_convert_type(tri_ref[:, 10 * LN:11 * LN],
+                                        jnp.int32)
 
     rox, roy, roz = (ox_ref[:][:, None, :], oy_ref[:][:, None, :],
                      oz_ref[:][:, None, :])               # (PB, 1, R)
@@ -107,7 +110,8 @@ def leaf_phase(tri_rows, ox, oy, oz, dx, dy, dz, t_in, pending,
                interpret: bool = False):
     """Dense leaf intersection for P packets.
 
-    tri_rows: (P, LN*LEAF_F) gathered leaf rows; ox..dz, t_in: (P, 128)
+    tri_rows: (P, LEAF_F*LN) gathered component-major leaf rows;
+    ox..dz, t_in: (P, 128)
     scalar-SoA rays and per-ray t windows; pending: (P,) int32 (0 = this
     packet has no pending leaf; its rays keep t_in and report no winner).
 

@@ -236,16 +236,16 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             # over (P, LN, R) scalar arrays).
             pending = p_a >= 0
             row_id = jnp.where(pending, p_a, 0)
-            tri = leaves[row_id].reshape(pp, LN, LEAF_F)    # one row gather
+            tri = leaves[row_id].reshape(pp, LEAF_F, LN)    # one row gather
 
             def tc(k):                                      # (P, LN, 1)
-                return tri[:, :, k][:, :, None]
+                return tri[:, k][:, :, None]
 
             v0x, v0y, v0z = tc(0), tc(1), tc(2)
             e1x, e1y, e1z = tc(3), tc(4), tc(5)
             e2x, e2y, e2z = tc(6), tc(7), tc(8)
-            matb = jax.lax.bitcast_convert_type(tri[:, :, 9], jnp.int32)
-            gidb = jax.lax.bitcast_convert_type(tri[:, :, 10], jnp.int32)
+            matb = jax.lax.bitcast_convert_type(tri[:, 9], jnp.int32)
+            gidb = jax.lax.bitcast_convert_type(tri[:, 10], jnp.int32)
 
             rdx, rdy, rdz = sdx[:, None, :], sdy[:, None, :], sdz[:, None, :]
             rox, roy, roz = sox[:, None, :], soy[:, None, :], soz[:, None, :]

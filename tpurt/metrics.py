@@ -74,7 +74,7 @@ def scene_stats(scene) -> dict:
         out["bvh_nodes"] = int(np.asarray(scene.bvh_lo).shape[0])
         out["bvh_leaves"] = int((np.asarray(scene.bvh_count) > 0).sum())
     if scene.pk_nodes is not None:
-        out["packet_nodes"] = int(np.asarray(scene.pk_nodes).shape[0]) // 8
+        out["packet_nodes"] = int(np.asarray(scene.pk_nodes).shape[0])
         out["packet_leaf_rows"] = int(np.asarray(scene.pk_leaves).shape[0])
     return out
 
