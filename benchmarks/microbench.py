@@ -9,6 +9,10 @@ once with a host fetch, divide by n.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path[:0] = [str(_Path(__file__).resolve().parent.parent), str(_Path(__file__).resolve().parent)]
+
 import time
 
 import jax

@@ -9,6 +9,9 @@ Prints one JSON line per probe.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path[:0] = [str(_Path(__file__).resolve().parent.parent), str(_Path(__file__).resolve().parent)]
 import json
 
 import jax

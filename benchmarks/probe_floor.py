@@ -8,6 +8,9 @@ protocol to find where those nanoseconds go.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path[:0] = [str(_Path(__file__).resolve().parent.parent), str(_Path(__file__).resolve().parent)]
 import json
 
 import jax

@@ -12,6 +12,9 @@ This probe rebuilds the loop in layers to find where the gap lives:
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path[:0] = [str(_Path(__file__).resolve().parent.parent), str(_Path(__file__).resolve().parent)]
 import json
 from functools import partial
 

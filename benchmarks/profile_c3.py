@@ -6,6 +6,9 @@ Prints one JSON object per probe. Protocol per microbench.device_time
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path[:0] = [str(_Path(__file__).resolve().parent.parent), str(_Path(__file__).resolve().parent)]
 import json
 from functools import partial
 

@@ -1,0 +1,58 @@
+"""Quick steady-state TPU measurement of selected bench configs.
+
+Same protocol as bench_render.run_one (warmup 1 sample, timed spp range,
+host-fetch sync) without the RMSE pass or history append — for fast
+iteration between perf commits. Usage:
+
+    python benchmarks/quick_tpu.py c1-primary c3-mesh
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench_render import BENCH_CONFIGS  # noqa: E402
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpurt import config, mesh, render
+
+    names = sys.argv[1:] or ["c3-mesh"]
+    for name in names:
+        kw = BENCH_CONFIGS[name]
+        cfg = config.RenderConfig(seed=0, **kw)
+        scene, cam = config.build_scene(cfg)
+        if cfg.shard != "none":
+            m = mesh.make_mesh()
+            film, _ = mesh.render_samples_sharded(cfg, scene, cam, 0, 1,
+                                                  mesh=m)
+            t0 = time.perf_counter()
+            film, rays = mesh.render_samples_sharded(
+                cfg, scene, cam, 1, 1 + cfg.spp, np.zeros_like(film), mesh=m)
+            wall = time.perf_counter() - t0
+        else:
+            scene = scene.device()
+            film, _ = render.render_samples(cfg, scene, cam, 0, 1)
+            float(jnp.sum(film))
+            t0 = time.perf_counter()
+            film, rays = render.render_samples(
+                cfg, scene, cam, 1, 1 + cfg.spp, jnp.zeros_like(film))
+            float(jnp.sum(film))
+            wall = time.perf_counter() - t0
+        print(json.dumps({
+            "name": name, "mrays_per_s": round(rays / wall / 1e6, 3),
+            "rays": int(rays), "wall_s": round(wall, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

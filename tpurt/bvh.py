@@ -242,10 +242,15 @@ class PacketBVH(NamedTuple):
         dividing the latency-bound round count by ~K.
 
     The round-1 8-octant direction-ordered layouts were DELETED: measured
-    (round 1, VERDICT weak #7) they lose without a per-bounce ray resort,
-    and the resort itself measured ~9 ns/row = ~15 ms/bounce at 131k rays
-    — strictly worse than traversing unordered. This also drops their 8x
-    node storage.
+    (round 1, VERDICT weak #7) they lose without a per-bounce ray resort.
+    The resort itself was re-measured in round 2 with trustworthy in-jit
+    timing (benchmarks/probe_resort.py): the permute is cheap (~0.9 ms at
+    131k rays, not the ~15 ms round-1 estimate) but SORTING MAKES
+    TRAVERSAL SLOWER — bounce-1 packet traversal 11.6 ms sorted vs
+    10.2 ms as-is (320 vs 236 rounds): pixel-tile order already groups
+    rays by origin, and the coherence-key sort trades that for direction
+    grouping, WIDENING the per-packet node-set union. Resort stays off;
+    the 8x node storage stays deleted.
     """
 
     nodes: np.ndarray    # (Mi, 16) f32

@@ -86,6 +86,9 @@ PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 ADV_STEPS = 6  # node steps per traversal round (tuned on TPU v5e, CIP layout)
 MC_PACKETS = 64  # traversals STARTING at <= this packet count go multi-cursor
 MC_K = 8         # cursors per packet in the multi-cursor mode
+# Banked-leaf ring size per cursor (leaf enqueues bank here between
+# drains; a cursor stalls only on ring overflow).
+BANK_S = 4
 
 
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
@@ -108,10 +111,15 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         (P, LN, R) math on the VPU — no per-ray memory access at all.
 
     Round structure: each round advances every active cursor ADV_STEPS
-    nodes (a cursor holding a pending leaf stalls), then intersects every
-    packet's pending leaf row. A round has a hard LATENCY floor (~12 us
-    at 16 packets — the in-round gathers form a serial dependence chain),
-    so the tail is round-count-bound, not width-bound. Mitigations:
+    nodes, banking leaf enqueues into a BANK_S-deep ring per cursor (a
+    cursor stalls only on ring overflow), then dense-intersects every
+    pending packet's ring head — several ring entries per round at tail
+    widths (see the phase-B comment: rounds are gated by the straggler
+    packet's leaf backlog, so the tail drains multiple entries per round
+    where dense math is cheap). A round has a hard LATENCY floor (~25 us
+    — dozens of kernel launches per round; the in-round gathers also form
+    a serial dependence chain), so the tail is round-count-bound, not
+    width-bound. Mitigations:
 
       * staged tail compaction (run_stages): rounds cost O(live packet
         set), so still-active packets are gathered into half-size arrays
@@ -185,22 +193,29 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         the blocks every round (multi-cursor mode)."""
 
         def outer(st):
-            (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz,
-             six, siy, siz,
+            (node, end, b0, b1, b2, b3, qh, qt, sox, soy, soz,
+             sdx, sdy, sdz, six, siy, siz,
              t_best, nx, ny, nz, m_best, g_best, found,
-             it_outer, it_adv) = st
+             it_outer, it_adv, it_pp, it_pend) = st
+            banks = [b0, b1, b2, b3]
             pp = node.shape[0]
             oxs = (sox, soy, soz)
             ixs = (six, siy, siz)
             if with_counters:
                 it_outer = it_outer + 1
+                # array-rounds: every round costs O(pp) in gathers, slab
+                # flops AND the dense leaf phase regardless of liveness —
+                # it_pp is the Σpp that the component cost model scales by.
+                it_pp = it_pp + pp
 
-            # Phase A: ADV_STEPS node steps. Each cursor banks up to TWO
-            # pending leaf rows (p_a then p_b) and keeps advancing; it
-            # stalls only when a visit's enqueues would overflow the free
-            # slots (the visit is then retried after phase B drains p_a).
-            def adv_step(nd, p_a, p_b):
-                act = (nd >= 0) & (p_b < 0)        # >= 1 slot free
+            # Phase A: ADV_STEPS node steps. Each cursor banks pending
+            # leaf rows into a BANK_S-deep ring (qh/qt head-tail counters)
+            # and keeps advancing; it stalls only when a visit's enqueues
+            # would overflow the ring (the visit is then retried after
+            # phase B drains a slot).
+            def adv_step(nd, banks, qh, qt):
+                cnt = qt - qh
+                act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
                 rows, m_l, m_r, skip = node_fields(jnp.maximum(nd, 0))
                 hit_l = slab_any(rows, 0, t_best, oxs, ixs) & act
                 hit_r = slab_any(rows, 6, t_best, oxs, ixs) & act
@@ -208,100 +223,141 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 leaf_r = (m_r & 1) == 1
                 e_l = hit_l & leaf_l
                 e_r = hit_r & leaf_r
-                a_free = p_a < 0
                 # overflow: two enqueues with only one free slot
-                ok = act & ~(e_l & e_r & ~a_free)
+                ok = act & ~(e_l & e_r & (cnt == BANK_S - 1))
                 go_l = hit_l & ~leaf_l
                 go_r = hit_r & ~leaf_r
                 nxt = jnp.where(go_l, m_l >> 1,
                                 jnp.where(go_r, m_r >> 1, skip))
                 nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
                 first = jnp.where(e_l, m_l >> 1, m_r >> 1)  # first enqueue
-                p_a2 = jnp.where(ok & (e_l | e_r) & a_free, first, p_a)
-                p_b2 = jnp.where(
-                    ok & (e_l | e_r) & ~a_free, first,
-                    jnp.where(ok & e_l & e_r, m_r >> 1, p_b),
-                )
+                second = m_r >> 1                           # when e_l & e_r
+                do1 = ok & (e_l | e_r)
+                do2 = ok & e_l & e_r
+                t0 = qt % BANK_S
+                t1 = (qt + 1) % BANK_S
+                banks = [
+                    jnp.where(do2 & (t1 == k), second,
+                              jnp.where(do1 & (t0 == k), first, bk))
+                    for k, bk in enumerate(banks)
+                ]
+                qt = qt + do1.astype(jnp.int32) + do2.astype(jnp.int32)
                 nd = jnp.where(ok, nxt, nd)
-                return nd, p_a2, p_b2
+                return nd, banks, qh, qt
 
             for _ in range(ADV_STEPS):
-                node, p_a, p_b = adv_step(node, p_a, p_b)
+                node, banks, qh, qt = adv_step(node, banks, qh, qt)
             if with_counters:
                 it_adv = it_adv + ADV_STEPS
 
-            # Phase B: every packet with a pending leaf intersects its
-            # full PACKET_LEAF_N-triangle leaf row against all member
-            # rays, densely (Moller-Trumbore written out componentwise
-            # over (P, LN, R) scalar arrays).
-            pending = p_a >= 0
-            row_id = jnp.where(pending, p_a, 0)
-            tri = leaves[row_id].reshape(pp, LEAF_F, LN)    # one row gather
+            # Phase B: dense leaf intersection, draining the ring heads.
+            # Measured design history (benchmarks/probe_roundcost.py):
+            # pending-packet compaction (gather pending packets into a
+            # cap-sized block before the dense math) LOSES — the cap turns
+            # into a drain-rate limit and the round count balloons
+            # 228 -> 521+ (rounds are gated by the STRAGGLER packet's leaf
+            # backlog, drained 1/round, not by node-chain length: doubling
+            # ADV_STEPS only took 228 -> 216). So: every pending packet
+            # drains every round, and TAIL stages (small pp, where the
+            # straggler lives and dense math is cheap) drain SEVERAL ring
+            # entries per round to collapse the leaf-bound tail.
+            n_drains = 4 if pp <= 64 else (2 if pp <= 256 else 1)
 
-            def tc(k):                                      # (P, LN, 1)
-                return tri[:, k][:, :, None]
+            def drain_once(banks, qh, qt, t_best, nx, ny, nz,
+                           m_best, g_best, found, it_pend):
+                pending = qt > qh
+                if with_counters:
+                    # packets whose dense work this drain is NOT wasted
+                    it_pend = it_pend + jnp.sum(pending, dtype=jnp.int32)
 
-            v0x, v0y, v0z = tc(0), tc(1), tc(2)
-            e1x, e1y, e1z = tc(3), tc(4), tc(5)
-            e2x, e2y, e2z = tc(6), tc(7), tc(8)
-            matb = jax.lax.bitcast_convert_type(tri[:, 9], jnp.int32)
-            gidb = jax.lax.bitcast_convert_type(tri[:, 10], jnp.int32)
+                hm = qh % BANK_S
+                head = jnp.where(
+                    hm == 0, banks[0],
+                    jnp.where(hm == 1, banks[1],
+                              jnp.where(hm == 2, banks[2], banks[3])))
 
-            rdx, rdy, rdz = sdx[:, None, :], sdy[:, None, :], sdz[:, None, :]
-            rox, roy, roz = sox[:, None, :], soy[:, None, :], soz[:, None, :]
+                row_id = jnp.where(pending, head, 0)
+                tri = leaves[row_id].reshape(pp, LEAF_F, LN)  # one gather
 
-            # pvec = d x e2
-            pvx = rdy * e2z - rdz * e2y
-            pvy = rdz * e2x - rdx * e2z
-            pvz = rdx * e2y - rdy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz         # (P, LN, R)
-            nondegen = jnp.abs(det) > geometry.TRI_EPS
-            invd = 1.0 / jnp.where(nondegen, det, 1.0)
-            # tvec = o - v0
-            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
-            # qvec = tvec x e1
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (rdx * qvx + rdy * qvy + rdz * qvz) * invd
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
-            valid = (
-                nondegen & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > T_MIN) & (t < t_best[:, None, :])
-                & pending[:, None, None]
-            )
-            t = jnp.where(valid, t, INF)
-            tj = jnp.min(t, axis=1)                         # (P, R)
-            j = jnp.argmin(t, axis=1)
-            better = tj < t_best
+                def tc(k):                                  # (P, LN, 1)
+                    return tri[:, k][:, :, None]
 
-            # per-leaf-tri geometric normals (P, LN), winner-select via
-            # one-hot
-            gnx = e1y[:, :, 0] * e2z[:, :, 0] - e1z[:, :, 0] * e2y[:, :, 0]
-            gny = e1z[:, :, 0] * e2x[:, :, 0] - e1x[:, :, 0] * e2z[:, :, 0]
-            gnz = e1x[:, :, 0] * e2y[:, :, 0] - e1y[:, :, 0] * e2x[:, :, 0]
-            glen = jnp.sqrt(jnp.maximum(gnx**2 + gny**2 + gnz**2, 1e-24))
-            gnx, gny, gnz = gnx / glen, gny / glen, gnz / glen
+                v0x, v0y, v0z = tc(0), tc(1), tc(2)
+                e1x, e1y, e1z = tc(3), tc(4), tc(5)
+                e2x, e2y, e2z = tc(6), tc(7), tc(8)
+                matb = jax.lax.bitcast_convert_type(tri[:, 9], jnp.int32)
+                gidb = jax.lax.bitcast_convert_type(tri[:, 10], jnp.int32)
 
-            onehot = jnp.arange(LN)[None, :, None] == j[:, None, :]
-            ohf = onehot.astype(jnp.float32)
-            w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
-            w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
-            w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
-            w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0), axis=1)
-            w_g = jnp.sum(jnp.where(onehot, gidb[:, :, None], 0), axis=1)
+                rdx, rdy, rdz = (sdx[:, None, :], sdy[:, None, :],
+                                 sdz[:, None, :])
+                rox, roy, roz = (sox[:, None, :], soy[:, None, :],
+                                 soz[:, None, :])
 
-            t_best = jnp.where(better, tj, t_best)
-            nx = jnp.where(better, w_nx, nx)
-            ny = jnp.where(better, w_ny, ny)
-            nz = jnp.where(better, w_nz, nz)
-            m_best = jnp.where(better, w_m, m_best)
-            g_best = jnp.where(better, w_g, g_best)
-            found = found | better
+                # pvec = d x e2
+                pvx = rdy * e2z - rdz * e2y
+                pvy = rdz * e2x - rdx * e2z
+                pvz = rdx * e2y - rdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz     # (P, LN, R)
+                nondegen = jnp.abs(det) > geometry.TRI_EPS
+                invd = 1.0 / jnp.where(nondegen, det, 1.0)
+                # tvec = o - v0
+                tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+                # qvec = tvec x e1
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (rdx * qvx + rdy * qvy + rdz * qvz) * invd
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+                valid = (
+                    nondegen & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > T_MIN) & (t < t_best[:, None, :])
+                    & pending[:, None, None]
+                )
+                t = jnp.where(valid, t, INF)
+                tj = jnp.min(t, axis=1)                     # (P, R)
+                j = jnp.argmin(t, axis=1)
+                better = tj < t_best
 
-            p_a = jnp.where(pending, p_b, p_a)   # drain: p_b -> p_a
-            p_b = jnp.where(pending, -1, p_b)
+                # per-leaf-tri geometric normals (P, LN), winner-select
+                # via one-hot
+                gnx = (e1y[:, :, 0] * e2z[:, :, 0]
+                       - e1z[:, :, 0] * e2y[:, :, 0])
+                gny = (e1z[:, :, 0] * e2x[:, :, 0]
+                       - e1x[:, :, 0] * e2z[:, :, 0])
+                gnz = (e1x[:, :, 0] * e2y[:, :, 0]
+                       - e1y[:, :, 0] * e2x[:, :, 0])
+                glen = jnp.sqrt(jnp.maximum(gnx**2 + gny**2 + gnz**2,
+                                            1e-24))
+                gnx, gny, gnz = gnx / glen, gny / glen, gnz / glen
+
+                onehot = jnp.arange(LN)[None, :, None] == j[:, None, :]
+                ohf = onehot.astype(jnp.float32)
+                w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
+                w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
+                w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
+                w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0),
+                              axis=1)
+                w_g = jnp.sum(jnp.where(onehot, gidb[:, :, None], 0),
+                              axis=1)
+
+                t_best = jnp.where(better, tj, t_best)
+                nx = jnp.where(better, w_nx, nx)
+                ny = jnp.where(better, w_ny, ny)
+                nz = jnp.where(better, w_nz, nz)
+                m_best = jnp.where(better, w_m, m_best)
+                g_best = jnp.where(better, w_g, g_best)
+                found = found | better
+
+                qh = qh + pending.astype(jnp.int32)  # pop the drained head
+                return (banks, qh, qt, t_best, nx, ny, nz,
+                        m_best, g_best, found, it_pend)
+
+            for _ in range(n_drains):
+                (banks, qh, qt, t_best, nx, ny, nz, m_best, g_best,
+                 found, it_pend) = drain_once(
+                    banks, qh, qt, t_best, nx, ny, nz,
+                    m_best, g_best, found, it_pend)
 
             if sync_k is not None:
                 # merge t windows AND winner attributes across the sync_k
@@ -334,10 +390,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                     jnp.any(blk(found) & oh, axis=0), (k, 1)
                 )
 
-            return (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz,
+            return (node, end, banks[0], banks[1], banks[2], banks[3],
+                    qh, qt, sox, soy, soz, sdx, sdy, sdz,
                     six, siy, siz,
                     t_best, nx, ny, nz, m_best, g_best, found,
-                    it_outer, it_adv)
+                    it_outer, it_adv, it_pp, it_pend)
 
         return outer
 
@@ -345,15 +402,17 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     outer_mc = make_outer(sync_k=MC_K)
 
     def cond(st):
-        return jnp.any((st[0] >= 0) | (st[2] >= 0))
+        return jnp.any((st[0] >= 0) | (st[7] > st[6]))
 
     def mc_finish(st):
         """Multi-cursor run for a traversal that STARTS narrow: every
         packet becomes MC_K virtual packets, one per precomputed subtree
         row span, sharing (synced) t windows. The K independent gather
         chains overlap, dividing the serial latency chain by ~K."""
-        (node, end, p_a, p_b, sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
-         t_best, nx, ny, nz, m_best, g_best, found, it_outer, it_adv) = st
+        (node, end, b0, b1, b2, b3, qh, qt,
+         sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+         t_best, nx, ny, nz, m_best, g_best, found,
+         it_outer, it_adv, it_pp, it_pend) = st
         cp = node.shape[0]
         cut = scene.pk_cut                              # (MC_K, 2)
         active = node >= 0                              # (cp,)
@@ -367,16 +426,17 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         )
         end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
         neg = jnp.full(MC_K * cp, -1, jnp.int32)
-        stv = (node_v, end_v, neg, neg,
+        ziv = jnp.zeros(MC_K * cp, jnp.int32)
+        stv = (node_v, end_v, neg, neg, neg, neg, ziv, ziv,
                t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
                t8(six), t8(siy), t8(siz),
                t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(g_best),
-               t8(found), it_outer, it_adv)
+               t8(found), it_outer, it_adv, it_pp, it_pend)
         stv = jax.lax.while_loop(cond, outer_mc, stv)
-        out = [jnp.full(cp, -1, jnp.int32), end, p_a, p_b]
+        out = [jnp.full(cp, -1, jnp.int32), end, b0, b1, b2, b3, qh, qt]
         out += [a for a in (sox, soy, soz, sdx, sdy, sdz, six, siy, siz)]
-        out += [a[:cp] for a in stv[13:20]]
-        out += [stv[20], stv[21]]
+        out += [a[:cp] for a in stv[17:24]]
+        out += list(stv[24:28])
         return tuple(out)
 
     def run_stages(state, caps):
@@ -394,11 +454,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             return run_stages(state, caps[1:])
 
         def cond2(st):
-            act = (st[0] >= 0) | (st[2] >= 0)
+            act = (st[0] >= 0) | (st[7] > st[6])
             return jnp.any(act) & (jnp.sum(act) > cap)
 
         state = jax.lax.while_loop(cond2, outer, state)
-        act = (state[0] >= 0) | (state[2] >= 0)
+        act = (state[0] >= 0) | (state[7] > state[6])
         order = jnp.argsort(
             jnp.where(act, 0, 1).astype(jnp.int32), stable=True
         )
@@ -412,16 +472,19 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
 
     zero = jnp.zeros((p, PACKET_R), jnp.float32)
     neg1 = jnp.full(p, -1, jnp.int32)
+    zi = jnp.zeros(p, jnp.int32)
     init = (
         jnp.zeros(p, jnp.int32),
         jnp.full(p, n_total, jnp.int32),
-        neg1, neg1,
+        neg1, neg1, neg1, neg1, zi, zi,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         t_max.reshape(p, PACKET_R),
         zero, zero, zero,
         jnp.zeros((p, PACKET_R), jnp.int32),
         jnp.full((p, PACKET_R), -1, jnp.int32),
         jnp.zeros((p, PACKET_R), bool),
+        jnp.int32(0),
+        jnp.int32(0),
         jnp.int32(0),
         jnp.int32(0),
     )
@@ -431,8 +494,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         final = mc_finish(init)
     else:
         final = run_stages(init, caps)
-    t_best, nx, ny, nz, m_best, g_best, found = final[13:20]
-    it_outer, it_adv = final[20], final[21]
+    t_best, nx, ny, nz, m_best, g_best, found = final[17:24]
     n_best = jnp.stack(
         [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1
     )
@@ -440,5 +502,6 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
            m_best.reshape(-1)[:n], found.reshape(-1)[:n],
            g_best.reshape(-1)[:n])
     if with_counters:
-        return out + (it_outer, it_adv)
+        # (rounds, adv steps, Σ array-packets over rounds, Σ pending)
+        return out + tuple(final[24:28])
     return out

@@ -166,11 +166,19 @@ def _part1by2(x):
     return x
 
 
-def ray_coherence_key(scene: Scene, o, d, alive):
-    """Sort key grouping rays into traversal-coherent packets: direction
-    octant (3 bits, major) then Morton cell of the origin within the BVH
-    root bbox (21 bits). Same direction signs AND nearby origins is what
-    keeps a 128-ray packet's BVH path union close to a single ray's path.
+def ray_coherence_key(scene: Scene, o, d, alive, variant: str = "octant"):
+    """Sort key grouping rays into traversal-coherent packets.
+
+    variant="octant": direction octant (3 bits, MAJOR) then Morton cell of
+    the origin within the BVH root bbox (21 bits). Measured
+    (benchmarks/probe_resort.py): LOSES on bounce rays — same-octant
+    grouping pulls origins from across the whole batch's world footprint,
+    widening the per-packet node-set union vs the tile order it replaced.
+
+    variant="morton": origin Morton cell MAJOR (21 bits), octant minor —
+    keeps packets origin-local (like tile order) and only subsorts by
+    direction within a cell.
+
     Dead rays sort to the end (their packets exit traversal instantly)."""
     root = scene.pk_nodes[0]
     lo = root[0:3]
@@ -187,7 +195,10 @@ def ray_coherence_key(scene: Scene, o, d, alive):
         + 2 * (d[:, 1] < 0).astype(jnp.int32)
         + 4 * (d[:, 2] < 0).astype(jnp.int32)
     )
-    key = (octant << 21) | morton
+    if variant == "morton":
+        key = (morton << 3) | octant
+    else:
+        key = (octant << 21) | morton
     return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
 

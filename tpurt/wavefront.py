@@ -92,27 +92,41 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
                           atten / p_surv[:, None], atten)
         next_alive = next_alive & (~rr_on | survive)
 
-    # Compaction: live rays first, grouped by direction octant then by the
-    # material just scattered from. Octant-major grouping is what keeps the
-    # 128-ray traversal packets coherent after diffuse bounces (the BVH
-    # packet walk degrades toward the union of member paths otherwise);
-    # material-minor preserves the BASELINE "material/liveness sort".
-    octant = (
-        (d[:, 0] < 0).astype(jnp.int32)
-        + 2 * (d[:, 1] < 0).astype(jnp.int32)
-        + 4 * (d[:, 2] < 0).astype(jnp.int32)
-    )
-    sort_key = jnp.where(
-        next_alive,
-        octant * 8 + jnp.minimum(h.mat, 7),
-        jnp.int32(0x7FFFFFFF),
-    )
-    order = jnp.argsort(sort_key, stable=True)
-    queue = Queue(
-        o=o[order], d=d[order], atten=atten[order], rad=rad[order],
-        pix=pix[order], key=key[:, order], alive=next_alive[order],
-    )
-    return queue, jnp.sum(next_alive, dtype=jnp.int32), rays_cast
+    # Compaction at PACKET granularity: packets with any live ray first,
+    # stable — rays never leave their 128-ray traversal packet, so the
+    # tile-order origin coherence that the packet BVH walk depends on is
+    # preserved. The round-1 ray-level (octant, material) sort was measured
+    # a LOSS (benchmarks/probe_resort.py): direction-major grouping pulls
+    # origins from across the whole batch footprint and WIDENS the
+    # per-packet node-set union. Liveness compaction (the BASELINE
+    # "ray compaction by liveness") now moves P rows per bounce, not N.
+    n = o.shape[0]
+    live_rays = jnp.sum(next_alive, dtype=jnp.int32)
+    if n % trace.PACKET_R == 0:
+        pk = n // trace.PACKET_R
+        live_pk = jnp.any(next_alive.reshape(pk, trace.PACKET_R), axis=-1)
+        order_pk = jnp.argsort(~live_pk, stable=True)
+
+        def rows(a):
+            return a.reshape(pk, -1)[order_pk].reshape(a.shape)
+
+        queue = Queue(
+            o=rows(o), d=rows(d), atten=rows(atten), rad=rows(rad),
+            pix=rows(pix), alive=rows(next_alive),
+            key=key.reshape(3, pk, -1)[:, order_pk].reshape(key.shape),
+        )
+        # rows [live_packets*PACKET_R:] are all dead — the shrink bound
+        live_rows = jnp.sum(live_pk, dtype=jnp.int32) * trace.PACKET_R
+    else:
+        # non-packet-aligned queue (tests, tiny scenes): liveness-only
+        # stable sort, which also preserves relative ray order
+        order = jnp.argsort(~next_alive, stable=True)
+        queue = Queue(
+            o=o[order], d=d[order], atten=atten[order], rad=rad[order],
+            pix=pix[order], key=key[:, order], alive=next_alive[order],
+        )
+        live_rows = live_rays
+    return queue, (live_rows, live_rays), rays_cast
 
 
 @jax.jit
@@ -151,7 +165,7 @@ def multi_step(scene: Scene, queue: Queue, bounce0, rr_start,
     zero-width t windows, so post-extinction steps inside a dispatch are
     nearly free."""
     total = jnp.int32(0)
-    live = jnp.int32(0)
+    live = (jnp.int32(0), jnp.int32(0))
     for i in range(n_steps):
         queue, live, cast = step(scene, queue, bounce0 + jnp.int32(i),
                                  rr_start)
@@ -170,12 +184,12 @@ def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
     n = queue.o.shape[0]
     for bounce0 in range(0, max_depth, BOUNCES_PER_DISPATCH):
         n_steps = min(BOUNCES_PER_DISPATCH, max_depth - bounce0)
-        queue, live, cast = multi_step(scene, queue, jnp.int32(bounce0),
-                                       rr_start, n_steps)
+        queue, (live_rows, live_rays), cast = multi_step(
+            scene, queue, jnp.int32(bounce0), rr_start, n_steps)
         total_rays += int(cast)
-        live = int(live)
+        live = int(live_rows)            # shrink bound (packet-aligned)
         if live_history is not None:
-            live_history.append(live)
+            live_history.append(int(live_rays))
         if live == 0:
             break
         b = _bucket(live)
