@@ -84,8 +84,15 @@ def bvh_nearest_tri(scene: Scene, o, d, t_max):
 
 PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 ADV_STEPS = 6  # node steps per traversal round (tuned on TPU v5e, CIP layout)
-MC_PACKETS = 64  # traversals STARTING at <= this packet count go multi-cursor
-MC_K = 8         # cursors per packet in the multi-cursor mode
+MC_K = 8        # subtree cursors per packet (multi-cursor traversal)
+# Multi-cursor only pays for traversals that START narrow (deep-bounce
+# tail batches): at full width it was re-measured a LOSS in round 2
+# (bounce-1 13.4 vs 10.2 ms) — rounds only fell 152->107 while the
+# packet-round volume rose 1.75x (un-synced cursors lose cross-subtree
+# occlusion pruning: +38% leaf visits, and span-masked cursors decay too
+# slowly). Narrow entries remain latency-chain-bound, where splitting the
+# walk across MC_K overlapping gather chains wins.
+MC_PACKETS = 64
 # Banked-leaf ring size per cursor (leaf enqueues bank here between
 # drains; a cursor stalls only on ring overflow).
 BANK_S = 4
@@ -125,13 +132,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         set), so still-active packets are gathered into half-size arrays
         as the set shrinks (cheap (P,128)-row gathers; (N,)-row ray
         permutes measured ~9 ns/row = ~11 ms at 131k and are NOT used);
-      * multi-cursor mode for traversals that START narrow (deep-bounce
-        tail batches): each packet runs MC_K cursors, one per precomputed
-        subtree row span (bvh cut), with per-round t-window/attribute
-        sync. The K gather chains are independent and overlap, dividing
-        the serial chain — and the round count — by ~K. Engaging this
-        mid-walk instead was measured a 40% LOSS on c3 (it re-does
-        exactly the straggler unions), so it is entry-only.
+      * multi-cursor traversal (mc_wide) for traversals that START
+        narrow (<= MC_PACKETS packets — deep-bounce tail batches): each
+        packet runs MC_K cursors, one per precomputed subtree row span
+        (bvh cut), merged exactly once at the end — see mc_wide's
+        docstring and the MC_PACKETS comment for the measured trade.
 
     Returns per-ray (t, normal, mat, found, gid) for the N input
     rays; gid is the original triangle index of the winner (-1 if none) —
@@ -187,10 +192,9 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         return jnp.any(tn <= tf, axis=-1)          # (P,)
 
-    def make_outer(sync_k=None):
-        """Round body. sync_k: if set, the packet axis is sync_k blocks of
-        virtual packets sharing rays; t_best/attributes are merged across
-        the blocks every round (multi-cursor mode)."""
+    def make_outer():
+        """Round body over the (possibly virtual, see mc_wide) packet
+        axis."""
 
         def outer(st):
             (node, end, b0, b1, b2, b3, qh, qt, sox, soy, soz,
@@ -359,37 +363,6 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                     banks, qh, qt, t_best, nx, ny, nz,
                     m_best, g_best, found, it_pend)
 
-            if sync_k is not None:
-                # merge t windows AND winner attributes across the sync_k
-                # virtual packets sharing each ray set, so every cursor
-                # prunes with the global best and the final state is
-                # identical in every block (block 0 is returned).
-                k = sync_k
-                cp = pp // k
-
-                def blk(a):
-                    return a.reshape(k, cp, PACKET_R)
-
-                tb = blk(t_best)
-                am = jnp.argmin(tb, axis=0)                 # (cp, R)
-                oh = jnp.arange(k)[:, None, None] == am[None]
-                ohff = oh.astype(jnp.float32)
-
-                def msel(a):
-                    return jnp.tile(jnp.sum(blk(a) * ohff, axis=0), (k, 1))
-
-                t_best = jnp.tile(jnp.min(tb, axis=0), (k, 1))
-                nx, ny, nz = msel(nx), msel(ny), msel(nz)
-                m_best = jnp.tile(
-                    jnp.sum(jnp.where(oh, blk(m_best), 0), axis=0), (k, 1)
-                )
-                g_best = jnp.tile(
-                    jnp.sum(jnp.where(oh, blk(g_best), 0), axis=0), (k, 1)
-                )
-                found = jnp.tile(
-                    jnp.any(blk(found) & oh, axis=0), (k, 1)
-                )
-
             return (node, end, banks[0], banks[1], banks[2], banks[3],
                     qh, qt, sox, soy, soz, sdx, sdy, sdz,
                     six, siy, siz,
@@ -399,45 +372,9 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         return outer
 
     outer = make_outer()
-    outer_mc = make_outer(sync_k=MC_K)
 
     def cond(st):
         return jnp.any((st[0] >= 0) | (st[7] > st[6]))
-
-    def mc_finish(st):
-        """Multi-cursor run for a traversal that STARTS narrow: every
-        packet becomes MC_K virtual packets, one per precomputed subtree
-        row span, sharing (synced) t windows. The K independent gather
-        chains overlap, dividing the serial latency chain by ~K."""
-        (node, end, b0, b1, b2, b3, qh, qt,
-         sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
-         t_best, nx, ny, nz, m_best, g_best, found,
-         it_outer, it_adv, it_pp, it_pend) = st
-        cp = node.shape[0]
-        cut = scene.pk_cut                              # (MC_K, 2)
-        active = node >= 0                              # (cp,)
-
-        def t8(a):
-            return jnp.tile(a, (MC_K, 1))
-
-        node_v = jnp.repeat(cut[:, 0], cp)              # (K*cp,)
-        node_v = jnp.where(
-            (node_v < 0) | ~jnp.tile(active, MC_K), -1, node_v
-        )
-        end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
-        neg = jnp.full(MC_K * cp, -1, jnp.int32)
-        ziv = jnp.zeros(MC_K * cp, jnp.int32)
-        stv = (node_v, end_v, neg, neg, neg, neg, ziv, ziv,
-               t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
-               t8(six), t8(siy), t8(siz),
-               t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(g_best),
-               t8(found), it_outer, it_adv, it_pp, it_pend)
-        stv = jax.lax.while_loop(cond, outer_mc, stv)
-        out = [jnp.full(cp, -1, jnp.int32), end, b0, b1, b2, b3, qh, qt]
-        out += [a for a in (sox, soy, soz, sdx, sdy, sdz, six, siy, siz)]
-        out += [a[:cp] for a in stv[17:24]]
-        out += list(stv[24:28])
-        return tuple(out)
 
     def run_stages(state, caps):
         """Tail compaction: traversal rounds cost O(live packet set), but a
@@ -470,6 +407,71 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             out.append(s if full.ndim == 0 else full.at[sel].set(s))
         return tuple(out)
 
+    def mc_wide(st):
+        """Multi-cursor traversal: every packet becomes MC_K virtual
+        packets, one per precomputed subtree row span (bvh cut), each
+        pruning with its OWN t window; the K results merge ONCE at the
+        end (argmin over cursors per ray). The virtual-cursor axis
+        stage-compacts like ordinary packets.
+
+        Measured rationale (benchmarks/probe_lanereduce.py +
+        probe_roundcost.py): a traversal round's cost is dominated by the
+        serial dependence chain of small ops (gather -> slab -> lane-any
+        -> select, ~2-4 us per link), so narrow-entry traversals are
+        round-latency-bound and splitting the walk across MC_K
+        overlapping gather chains wins. At FULL width the same split was
+        measured a loss (see the MC_PACKETS comment), so this engages
+        only for narrow entries; the final merge is exact either way.
+        """
+        (node, end, b0, b1, b2, b3, qh, qt,
+         sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+         t_best, nx, ny, nz, m_best, g_best, found,
+         it_outer, it_adv, it_pp, it_pend) = st
+        cp = node.shape[0]
+        cut = scene.pk_cut                              # (MC_K, 2)
+
+        def t8(a):
+            return jnp.tile(a, (MC_K, 1))
+
+        node_v = jnp.repeat(cut[:, 0], cp)              # (K*cp,)
+        node_v = jnp.where(node_v < 0, -1, node_v)
+        end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
+        vp = MC_K * cp
+        neg = jnp.full(vp, -1, jnp.int32)
+        ziv = jnp.zeros(vp, jnp.int32)
+        stv = (node_v, end_v, neg, neg, neg, neg, ziv, ziv,
+               t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
+               t8(six), t8(siy), t8(siz),
+               t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(g_best),
+               t8(found), it_outer, it_adv, it_pp, it_pend)
+        caps_v = [c for c in (vp // 2, vp // 4, vp // 8, vp // 16,
+                              vp // 32, vp // 64) if c >= 8]
+        stv = run_stages(stv, caps_v)
+
+        # exact merge: per ray, the cursor with the nearest hit wins
+        def blk(a):
+            return a.reshape(MC_K, cp, PACKET_R)
+
+        tb = blk(stv[17])
+        am = jnp.argmin(tb, axis=0)                     # (cp, R)
+        oh = jnp.arange(MC_K)[:, None, None] == am[None]
+        ohf = oh.astype(jnp.float32)
+
+        def fsel(a):
+            return jnp.sum(blk(a) * ohf, axis=0)
+
+        def isel(a):
+            return jnp.sum(jnp.where(oh, blk(a), 0), axis=0)
+
+        out = [jnp.full(cp, -1, jnp.int32), end, b0, b1, b2, b3, qh, qt,
+               sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
+               jnp.min(tb, axis=0),
+               fsel(stv[18]), fsel(stv[19]), fsel(stv[20]),
+               isel(stv[21]), isel(stv[22]),
+               jnp.any(blk(stv[23]), axis=0)]
+        out += list(stv[24:28])
+        return tuple(out)
+
     zero = jnp.zeros((p, PACKET_R), jnp.float32)
     neg1 = jnp.full(p, -1, jnp.int32)
     zi = jnp.zeros(p, jnp.int32)
@@ -491,7 +493,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     caps = [c for c in (p // 2, p // 4, p // 8, p // 16, p // 32,
                         p // 64) if c >= 8]
     if use_mc and p <= MC_PACKETS:
-        final = mc_finish(init)
+        final = mc_wide(init)
     else:
         final = run_stages(init, caps)
     t_best, nx, ny, nz, m_best, g_best, found = final[17:24]

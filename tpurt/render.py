@@ -260,94 +260,91 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     return film_flat, total_rays
 
 
-WF_INFLIGHT = 4  # wavefront chunks kept in flight (see _render_wavefront)
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "rr_start",
+                          "block", "c", "n_blocks"),
+         donate_argnames=("film_flat",))
+def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, film_flat,
+                     s0, n_chunks, seed,
+                     width: int, height: int, max_depth: int, rr_start,
+                     block: int, c: int, n_blocks: int):
+    """All wavefront chunks of a sample range as ONE device dispatch.
+
+    The (pixel-block x sample-chunk) loop runs on-device as a fori_loop
+    around raygen + wavefront.trace_chunk_staged (same dispatch-floor
+    rationale as _accum_frame; measured ~0.9 s of per-chunk dispatch
+    overhead on c4 otherwise). Returns (film, rays_cast, live-per-bounce
+    summed over chunks)."""
+
+    def chunk_body(ci, carry):
+        film, nrays, hist = carry
+        p0 = (ci % n_blocks) * block
+        sample_ids = s0 + (ci // n_blocks) * c + jnp.arange(c,
+                                                           dtype=jnp.int32)
+        pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
+        valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
+        pixf = jnp.tile(pix, c)
+        validf = jnp.tile(valid, c)
+        smp = jnp.repeat(sample_ids, block)
+        keys = rng.make_streams(seed, pixf, smp)
+        jit2 = rng.camera_draws(keys)
+        o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
+        q = wavefront.make_queue(o, d, pixf, keys, alive=validf)
+        film, cast, h = wavefront.trace_chunk_staged(
+            scene, film, q, max_depth, rr_start)
+        return film, nrays + cast, hist + h
+
+    init = (film_flat, jnp.int32(0), jnp.zeros(max_depth, jnp.int32))
+    return jax.lax.fori_loop(0, n_blocks * n_chunks, chunk_body, init)
 
 
 def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
                       spp_chunk, sample_start, sample_stop, seed,
                       stats_sink):
-    """Software-pipelined wavefront render loop.
+    """Wavefront render loop: the whole sample range in one dispatch.
 
-    The wavefront bounce loop must fetch a live-count per multi_step to
-    decide queue shrinks, and on this relay a host sync costs ~28 ms — at
-    depth 16 that is 4 syncs x N chunks of pure latency if chunks run
-    sequentially (the round-1 c4 deficit). Here WF_INFLIGHT chunk state
-    machines run round-robin: while one chunk's live-count fetch waits on
-    the relay, the other chunks' multi_step dispatches keep the device
-    busy, hiding the sync latency behind real compute.
-
-    Film commits stay deterministic: the round-robin schedule is a pure
-    function of the config (no timing-dependent choices), so the
-    accumulation order — and the image — is reproducible run to run.
+    Per-bounce queue passes, packet-granular liveness compaction and
+    staged queue shrinks all run inside wavefront.trace_chunk_staged
+    (measured: the earlier host-level bounce loop with per-multi_step
+    live-count fetches was 6x slower than the megakernel on the exact c4
+    config); the chunk loop around it is also on-device
+    (_wavefront_frame). Every chunk gets the SAME pixel count (ragged
+    last block padded with duplicates of the last pixel, born dead), so
+    one compiled program serves every chunk.
     """
-    live_hist = None
+    npix = cfg.width * cfg.height
+    block = min(pixel_block, -(-npix // trace.PACKET_R) * trace.PACKET_R)
+    npix_pad = -(-npix // block) * block
+    order_pad = jnp.asarray(np.concatenate(
+        [order, np.full(npix_pad - npix, order[-1], np.int32)]
+    ))
+    valid_pad = jnp.asarray(np.arange(npix_pad) < npix)
+    n_blocks = npix_pad // block
+
+    n_samples = sample_stop - sample_start
+    total_rays = jnp.int32(0)
+    hist = jnp.zeros(cfg.max_depth, jnp.int32)
+    for s0, c, n_chunks in (
+        (sample_start, spp_chunk, n_samples // spp_chunk),
+        (sample_start + (n_samples // spp_chunk) * spp_chunk,
+         n_samples % spp_chunk, 1),
+    ):
+        if n_chunks == 0 or c == 0:
+            continue
+        film_flat, nrays, h = _wavefront_frame(
+            scene, cam, order_pad, valid_pad, film_flat,
+            jnp.int32(s0), jnp.int32(n_chunks), seed,
+            cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
+            block, c, n_blocks,
+        )
+        total_rays = total_rays + nrays
+        hist = hist + h
+
     if stats_sink is not None:
-        live_hist = stats_sink.setdefault("live_history", [])
-
-    def chunk_args():
-        npix = cfg.width * cfg.height
-        for p0 in range(0, npix, pixel_block):
-            p1 = min(p0 + pixel_block, npix)
-            for s0 in range(sample_start, sample_stop, spp_chunk):
-                s1 = min(s0 + spp_chunk, sample_stop)
-                yield (jnp.asarray(order[p0:p1]),
-                       jnp.arange(s0, s1, dtype=jnp.int32))
-
-    pending = list(chunk_args())
-    pending.reverse()                      # pop() yields original order
-    total_rays = 0
-
-    class _Chunk:
-        __slots__ = ("queue", "bounce0", "live", "cast")
-
-        def __init__(self, pixel_ids, sample_ids):
-            q = _raygen(scene, cam, pixel_ids, sample_ids, seed,
-                        cfg.width, cfg.height)
-            if stats_sink is not None:
-                stats_sink["queue_capacity"] = int(q.o.shape[0])
-            self.bounce0 = 0
-            self._dispatch(q)
-
-        def _dispatch(self, q):
-            n_steps = min(wavefront.BOUNCES_PER_DISPATCH,
-                          cfg.max_depth - self.bounce0)
-            self.queue, self.live, self.cast = wavefront.multi_step(
-                scene, q, jnp.int32(self.bounce0), cfg.rr_start, n_steps)
-            self.bounce0 += n_steps
-
-        def advance(self, film):
-            """Fetch last multi_step's results (the only host sync),
-            shrink, and dispatch the next multi_step. Returns
-            (film, rays_delta, done)."""
-            live_rows, live_rays = (int(x) for x in self.live)
-            rays = int(self.cast)
-            if live_hist is not None:
-                live_hist.append(live_rays)
-            q = self.queue
-            if live_rows == 0 or self.bounce0 >= cfg.max_depth:
-                return wavefront.commit_remaining(film, q), rays, True
-            b = wavefront._bucket(live_rows)
-            if b < q.o.shape[0]:
-                film = wavefront.commit_rows(film, q.rad[b:], q.pix[b:])
-                q = wavefront.Queue(
-                    o=q.o[:b], d=q.d[:b], atten=q.atten[:b], rad=q.rad[:b],
-                    pix=q.pix[:b], key=q.key[:, :b], alive=q.alive[:b],
-                )
-            self._dispatch(q)
-            return film, rays, False
-
-    active: list = []
-    while pending or active:
-        while pending and len(active) < WF_INFLIGHT:
-            active.append(_Chunk(*pending.pop()))
-        nxt = []
-        for ch in active:
-            film_flat, rays, done = ch.advance(film_flat)
-            total_rays += rays
-            if not done:
-                nxt.append(ch)
-        active = nxt
-    return film_flat, total_rays
+        stats_sink["queue_capacity"] = block * spp_chunk
+        stats_sink.setdefault("live_history", []).extend(
+            int(x) for x in np.asarray(hist))
+    return film_flat, int(total_rays)
 
 
 def render(cfg: RenderConfig, scene: Optional[Scene] = None, cam=None):

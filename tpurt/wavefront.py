@@ -145,11 +145,38 @@ def commit_rows(film, rad, pix):
     return film + jax.ops.segment_sum(rad, pix, num_segments=film.shape[0])
 
 
+@partial(jax.jit, static_argnames=("b",))
+def commit_tail(film, queue: Queue, b: int):
+    """Commit rows [b:] (about to be dropped by shrink) — the tail slice
+    happens inside the jit so no eager dynamic_slice programs compile
+    (see shrink's docstring)."""
+    return film + jax.ops.segment_sum(
+        queue.rad[b:], queue.pix[b:], num_segments=film.shape[0]
+    )
+
+
 def _bucket(n: int) -> int:
     b = MIN_BUCKET
     while b < n:
         b <<= 1
     return b
+
+
+@partial(jax.jit, static_argnames=("b",))
+def shrink(queue: Queue, b: int) -> Queue:
+    """Slice the queue down to its first b rows — as ONE jitted program.
+
+    Shrinking with eager `queue.o[:b]`-style slicing compiles a separate
+    tiny dynamic_slice program per array per (capacity, b) pair, and the
+    remote-compile tunnel charges ~0.4 s per compile — measured 20+ s of
+    mid-render compiles on c4. One jit per (capacity, b) pair amortizes
+    across all chunks and samples.
+    """
+    return Queue(
+        o=queue.o[:b], d=queue.d[:b], atten=queue.atten[:b],
+        rad=queue.rad[:b], pix=queue.pix[:b], key=queue.key[:, :b],
+        alive=queue.alive[:b],
+    )
 
 
 BOUNCES_PER_DISPATCH = 4
@@ -205,6 +232,74 @@ def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
             n = b
     film = commit_remaining(film, queue)
     return film, total_rays
+
+
+@partial(jax.jit, static_argnames=("max_depth", "rr_start"))
+def trace_chunk_staged(scene: Scene, film, queue: Queue, max_depth: int,
+                       rr_start):
+    """Whole-chunk wavefront bounce loop in ONE device dispatch, with
+    STAGED on-device queue shrinking.
+
+    The host-loop wavefront (trace_chunk / the render pipeline around it)
+    was measured 6x slower than the megakernel on the exact c4 config
+    (1.0 vs 6.0 Mrays/s): per-multi_step live-count fetches and shrink
+    dispatches dominate. Here the per-bounce passes, the packet-granular
+    liveness compaction AND the bucket shrinks all run inside one jit —
+    the same staging trick as trace.trace's bounce loop (VERDICT round-1
+    item 4: "fold staging into it"). Because step() sorts live packets to
+    the front, a shrink is a static slice; the dropped rows are all dead,
+    so their radiance commits at the shrink and they never come back.
+
+    Returns (film', rays_cast, live_hist (max_depth,) int32) — live_hist
+    is the per-bounce live-ray count, the wavefront occupancy metric
+    (SURVEY.md §5), recorded on-device.
+    """
+    n = queue.o.shape[0]
+    npix = film.shape[0]
+    assert n % trace.PACKET_R == 0, "staged wavefront needs packet-aligned queues"
+    pk0 = n // trace.PACKET_R
+
+    def cond(c):
+        bounce, q = c[0], c[1]
+        return (bounce < max_depth) & jnp.any(q.alive)
+
+    def body(c):
+        bounce, q, film, nrays, hist = c
+        q, (live_rows, live_rays), cast = step(scene, q, bounce, rr_start)
+        hist = hist.at[bounce].set(live_rays)
+        return bounce + 1, q, film, nrays + cast, hist
+
+    def run(c, caps):
+        if not caps:
+            return jax.lax.while_loop(cond, body, c)
+        cap = caps[0]
+        pk = c[1].o.shape[0] // trace.PACKET_R
+        if pk <= cap:
+            return run(c, caps[1:])
+
+        def cond2(c):
+            q = c[1]
+            live_pk = jnp.sum(jnp.any(
+                q.alive.reshape(-1, trace.PACKET_R), axis=-1),
+                dtype=jnp.int32)
+            return cond(c) & (live_pk > cap)
+
+        c = jax.lax.while_loop(cond2, body, c)
+        bounce, q, film, nrays, hist = c
+        b = cap * trace.PACKET_R
+        film = film + jax.ops.segment_sum(q.rad[b:], q.pix[b:],
+                                          num_segments=npix)
+        q = Queue(o=q.o[:b], d=q.d[:b], atten=q.atten[:b], rad=q.rad[:b],
+                  pix=q.pix[:b], key=q.key[:, :b], alive=q.alive[:b])
+        return run((bounce, q, film, nrays, hist), caps[1:])
+
+    caps = [c for c in (pk0 // 2, pk0 // 4, pk0 // 8, pk0 // 16,
+                        pk0 // 32) if c >= 8]
+    init = (jnp.int32(0), queue, film, jnp.int32(0),
+            jnp.zeros(max_depth, jnp.int32))
+    _, queue, film, nrays, hist = run(init, caps)
+    film = commit_remaining(film, queue)
+    return film, nrays, hist
 
 
 def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
