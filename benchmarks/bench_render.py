@@ -80,27 +80,35 @@ def run_one(name: str, kw: dict, with_rmse: bool = True) -> dict:
     cfg = config.RenderConfig(seed=0, **kw)
     scene, cam = config.build_scene(cfg)
 
+    # best-of-REPS timing: wall times through the axon relay vary +-35%
+    # run to run (measured in round 2), so a single pass cannot gate
+    # regressions; the best pass is the stable device-speed estimate.
+    REPS = 3
     if cfg.shard != "none":
         m = mesh.make_mesh()
         # warmup: compile + 1 sample over the mesh
         film, _ = mesh.render_samples_sharded(cfg, scene, cam, 0, 1, mesh=m)
-        t0 = time.perf_counter()
-        film, rays = mesh.render_samples_sharded(
-            cfg, scene, cam, 1, 1 + cfg.spp,
-            np.zeros_like(film), mesh=m,
-        )  # returns a host array: already synced
-        wall = time.perf_counter() - t0
+        wall = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            film, rays = mesh.render_samples_sharded(
+                cfg, scene, cam, 1, 1 + cfg.spp,
+                np.zeros_like(film), mesh=m,
+            )  # returns a host array: already synced
+            wall = min(wall, time.perf_counter() - t0)
         devices = m.size
     else:
         scene = scene.device()
         # warmup: compile + 1 sample
         film, _ = render.render_samples(cfg, scene, cam, 0, 1)
         jax.block_until_ready(film)
-        t0 = time.perf_counter()
-        film, rays = render.render_samples(cfg, scene, cam, 1, 1 + cfg.spp,
-                                           jnp.zeros_like(film))
-        float(jnp.sum(film))  # host fetch = reliable sync on this backend
-        wall = time.perf_counter() - t0
+        wall = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            film, rays = render.render_samples(
+                cfg, scene, cam, 1, 1 + cfg.spp, jnp.zeros_like(film))
+            float(jnp.sum(film))  # host fetch = reliable sync here
+            wall = min(wall, time.perf_counter() - t0)
         devices = 1
 
     from tpurt import metrics

@@ -71,3 +71,26 @@ def test_shrink_then_finish_equals_full_queue():
         wavefront.MIN_BUCKET = old
     assert rays_a == rays_b
     assert np.allclose(np.asarray(film_a), np.asarray(film_b), atol=1e-5)
+
+
+def test_staged_chunk_matches_host_loop():
+    """The one-dispatch staged bounce loop (trace_chunk_staged — the
+    production wavefront path) must produce the host-loop trace_chunk's
+    image, ray count, and a consistent per-bounce occupancy history."""
+    scene, q0 = _queue(n=1024)
+    npix = 32 * 16
+    film_a = jnp.zeros((npix, 3), jnp.float32)
+    film_a, rays_a = wavefront.trace_chunk(scene, film_a, q0, 8, None)
+
+    film_b = jnp.zeros((npix, 3), jnp.float32)
+    film_b, rays_b, hist = wavefront.trace_chunk_staged(
+        scene, film_b, q0, 8, None)
+    assert rays_a == int(rays_b)
+    assert np.allclose(np.asarray(film_a), np.asarray(film_b), atol=1e-5)
+    hist = np.asarray(hist)
+    assert hist.shape == (8,)
+    # live counts decay monotonically (no RR resurrection); hist[b] is
+    # the live count AFTER bounce b, so the rays-cast tally (live at
+    # entry of each bounce) is capacity + all but the last entry
+    assert (np.diff(hist) <= 0).all()
+    assert int(rays_b) == q0.o.shape[0] + hist[:-1].sum()

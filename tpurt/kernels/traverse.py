@@ -16,6 +16,23 @@ fused on-chip loops (gather + VPU), which profiling showed is the right
 tool here — a hand-written Mosaic kernel cannot express the per-lane
 dynamic HBM gathers this access pattern needs (SURVEY.md §7 hard part 2
 anticipated exactly this hybrid outcome).
+
+Round-2 verdict on the "Pallas traversal megakernel" (SURVEY §7 M3),
+with the full measured chain this time:
+  1. a traversal round is bound by its serial dependence chain of small
+     ops (~2-4 us per gather->reduce->select link,
+     benchmarks/probe_lanereduce.py), not by dense flops
+     (probe_leafsize.py: halving the MT volume doesn't move wall time);
+  2. a fused in-kernel loop would eliminate those op boundaries, BUT the
+     per-packet node fetch inside a Mosaic kernel is one
+     `make_async_copy` per dynamic row — strictly worse than XLA's
+     hardware gather (~1.3 ns/row amortized over thousands of rows),
+     and Pallas grid cells serialize on the single TensorCore;
+  3. the dense leaf phase alone was already built in Pallas and measured
+     3x SLOWER than the fused XLA phase (kernels/leaf.py).
+So the megakernel loses on the fetch side and the compute side
+independently; the XLA packet design with staged compaction remains the
+measured optimum on this hardware.
 """
 
 from __future__ import annotations

@@ -57,6 +57,9 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
+SUB_BLOCK = 1 << 17  # per-chip pixel sub-block (the tuned batch size)
+
+
 def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
                   width, height, mode: str, max_depth: int, rr_start):
     """Trace one device's (pixel-block × sample-slice); returns the
@@ -66,30 +69,55 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
     pixel count up to the mesh size): pad rays start dead, so they are
     never traced and never counted — the psum'd ray counter (the Mrays
     numerator, SURVEY.md §5 Metrics) counts real pixels only.
+
+    Large per-chip blocks (config 5: a whole 4K frame on the 1-chip mesh)
+    loop on-device over SUB_BLOCK pixel sub-blocks — same dispatch-floor
+    logic as render._accum_frame, and the traversal runs at its tuned
+    batch size instead of one multi-million-ray megabatch.
     """
     b = gpix.shape[0]
     c = sample_ids.shape[0]
-    pix = jnp.tile(gpix, c)
-    valid = jnp.tile(gvalid, c)
-    smp = jnp.repeat(sample_ids, b)
-    keys = rng.make_streams(seed, pix, smp)
-    jit2 = rng.camera_draws(keys)
-    o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
 
-    if mode == "primary":
-        rad, _ = trace.shade_primary(scene, o, d)
-        rad = jnp.where(valid[:, None], rad, 0.0)
-        nrays = jnp.sum(valid, dtype=jnp.int32)
-        return rad.reshape(c, b, 3).sum(axis=0), nrays
-    if mode == "wavefront":
-        lpix = jnp.tile(jnp.arange(b, dtype=jnp.int32), c)  # local film slot
-        film_local = jnp.zeros((b, 3), jnp.float32)
-        queue = wavefront.make_queue(o, d, lpix, keys, alive=valid)
-        return wavefront.trace_static(scene, film_local, queue,
-                                      max_depth, rr_start)
-    rad, nrays = trace.trace(scene, o, d, keys, max_depth, rr_start,
-                             valid=valid)
-    return rad.reshape(c, b, 3).sum(axis=0), nrays
+    def trace_block(pix_blk, valid_blk):
+        bb = pix_blk.shape[0]
+        pix = jnp.tile(pix_blk, c)
+        valid = jnp.tile(valid_blk, c)
+        smp = jnp.repeat(sample_ids, bb)
+        keys = rng.make_streams(seed, pix, smp)
+        jit2 = rng.camera_draws(keys)
+        o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
+        if mode == "primary":
+            rad, _ = trace.shade_primary(scene, o, d)
+            rad = jnp.where(valid[:, None], rad, 0.0)
+            nrays = jnp.sum(valid, dtype=jnp.int32)
+        elif mode == "wavefront":
+            lpix = jnp.tile(jnp.arange(bb, dtype=jnp.int32), c)
+            film_local = jnp.zeros((bb, 3), jnp.float32)
+            queue = wavefront.make_queue(o, d, lpix, keys, alive=valid)
+            return wavefront.trace_static(scene, film_local, queue,
+                                          max_depth, rr_start)
+        else:
+            rad, nrays = trace.trace(scene, o, d, keys, max_depth,
+                                     rr_start, valid=valid)
+        return rad.reshape(c, bb, 3).sum(axis=0), nrays
+
+    if b <= SUB_BLOCK or b % SUB_BLOCK != 0:
+        return trace_block(gpix, gvalid)
+
+    def body(bi, carry):
+        rad_acc, nrays_acc = carry
+        p0 = bi * SUB_BLOCK
+        rad, nrays = trace_block(
+            jax.lax.dynamic_slice(gpix, (p0,), (SUB_BLOCK,)),
+            jax.lax.dynamic_slice(gvalid, (p0,), (SUB_BLOCK,)),
+        )
+        rad_acc = jax.lax.dynamic_update_slice(rad_acc, rad, (p0, 0))
+        return rad_acc, nrays_acc + nrays
+
+    return jax.lax.fori_loop(
+        0, b // SUB_BLOCK, body,
+        (jnp.zeros((b, 3), jnp.float32), jnp.int32(0)),
+    )
 
 
 @partial(jax.jit,
@@ -208,6 +236,12 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
         from . import render as render_mod
 
         npix_pad = -(-npix // ndev) * ndev
+        block = npix_pad // ndev
+        if block > SUB_BLOCK:
+            # round the per-chip block up to a SUB_BLOCK multiple so
+            # _device_trace's on-device sub-block loop engages
+            block = -(-block // SUB_BLOCK) * SUB_BLOCK
+            npix_pad = block * ndev
         order = render_mod._tile_order_cached(cfg.width, cfg.height)
         gpix = np.concatenate(
             [order, np.full(npix_pad - npix, order[-1], np.int32)]
@@ -215,7 +249,6 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
         gvalid = np.arange(npix_pad) < npix  # pad rows start dead
         gpix = jax.device_put(gpix, sharded)
         gvalid = jax.device_put(gvalid, sharded)
-        block = npix_pad // ndev
         spp_chunk = max(1, cfg.ray_batch // max(1, block))
         film_pad = jax.device_put(np.zeros((npix_pad, 3), np.float32),
                                   sharded)
