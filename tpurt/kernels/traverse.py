@@ -100,7 +100,10 @@ def bvh_nearest_tri(scene: Scene, o, d, t_max):
 
 
 PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
-ADV_STEPS = 6  # node steps per traversal round (tuned on TPU v5e, CIP layout)
+# node steps per traversal round. Re-tuned round 2 under multi-drain on
+# v5e: {3: 14.1, 4: 11.9, 6: 10.26, 8: 10.11, 12: 15.3} ms on the c3
+# bounce-1 workload — 8 wins both bounce and primary slightly.
+ADV_STEPS = 8
 MC_K = 8        # subtree cursors per packet (multi-cursor traversal)
 # Multi-cursor only pays for traversals that START narrow (deep-bounce
 # tail batches): at full width it was re-measured a LOSS in round 2
@@ -199,15 +202,22 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         skip = jax.lax.bitcast_convert_type(rows[:, 14], jnp.int32)
         return rows, m_l, m_r, skip
 
-    def slab_any(rows, off, t_best, oxs, ixs):
-        tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
-        tf = t_best
-        for k in range(3):
-            t0 = (rows[:, off + k, None] - oxs[k]) * ixs[k]
-            t1 = (rows[:, off + k + 3, None] - oxs[k]) * ixs[k]
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        return jnp.any(tn <= tf, axis=-1)          # (P,)
+    def slab_any2(rows, t_best, oxs, ixs):
+        """Per-lane slab test of BOTH child boxes, reduced over lanes in
+        ONE fused reduction (a serialized lane-reduce link costs ~2-4 us,
+        probe_lanereduce.py — two separate anys were two links)."""
+        hits = []
+        for off in (0, 6):
+            tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
+            tf = t_best
+            for k in range(3):
+                t0 = (rows[:, off + k, None] - oxs[k]) * ixs[k]
+                t1 = (rows[:, off + k + 3, None] - oxs[k]) * ixs[k]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hits.append(tn <= tf)
+        both = jnp.any(jnp.stack(hits, axis=1), axis=-1)   # (P, 2)
+        return both[:, 0], both[:, 1]
 
     def make_outer():
         """Round body over the (possibly virtual, see mc_wide) packet
@@ -238,8 +248,9 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 cnt = qt - qh
                 act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
                 rows, m_l, m_r, skip = node_fields(jnp.maximum(nd, 0))
-                hit_l = slab_any(rows, 0, t_best, oxs, ixs) & act
-                hit_r = slab_any(rows, 6, t_best, oxs, ixs) & act
+                h_l, h_r = slab_any2(rows, t_best, oxs, ixs)
+                hit_l = h_l & act
+                hit_r = h_r & act
                 leaf_l = (m_l & 1) == 1
                 leaf_r = (m_r & 1) == 1
                 e_l = hit_l & leaf_l
