@@ -43,7 +43,7 @@ def test_streams_disjoint_across_pixels_samples_bounces():
     s2 = _streams(0, 64, sample=1)
     assert not np.allclose(d0, np.asarray(rng.bounce_draws(s2, 0)))
     cam = np.asarray(rng.camera_draws(s))
-    assert not np.allclose(cam, d0[:2])               # camera stream disjoint
+    assert not np.allclose(cam, d0[:4])               # camera stream disjoint
     s3 = _streams(1, 64)
     assert not np.allclose(d0, np.asarray(rng.bounce_draws(s3, 0)))  # seed
 

@@ -39,6 +39,10 @@ def _build_parser(preset_names) -> argparse.ArgumentParser:
     r.add_argument("--smooth", action="store_true", default=None,
                    help="interpolate OBJ vn shading normals (A.5 optional "
                         "path; errors if the OBJ has no vn records)")
+    r.add_argument("--aperture", type=float, default=None,
+                   help="thin-lens diameter (world units; 0 = pinhole)")
+    r.add_argument("--focus-dist", type=float, default=None,
+                   help="in-focus plane distance (with --aperture)")
     r.add_argument("--shard", choices=["none", "tiles", "spp"], default=None)
     r.add_argument("--ray-batch", type=int, default=None)
     r.add_argument("--out", type=str, default=None, help="output .ppm path")
@@ -70,6 +74,7 @@ def main(argv=None) -> int:
         "mode": args.mode, "rr_start": args.rr_start,
         "mesh_subdiv": args.mesh_subdiv, "shard": args.shard,
         "ray_batch": args.ray_batch, "smooth": args.smooth,
+        "aperture": args.aperture, "focus_dist": args.focus_dist,
     }
     cfg = cfg.replace(**{k: v for k, v in overrides.items() if v is not None})
 

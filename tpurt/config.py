@@ -36,6 +36,11 @@ class RenderConfig:
     # A.5 optional vn path: interpolate OBJ-provided vertex normals at hits
     # (flat geometric shading, the decree default, when False or no vn)
     smooth: bool = False
+    # A.2 optional thin-lens defocus: lens diameter in world units and the
+    # in-focus plane distance. aperture 0 (the decree default, all five
+    # BASELINE configs) is bit-identical to the pinhole camera.
+    aperture: float = 0.0
+    focus_dist: float = 1.0
 
     @property
     def aspect(self) -> float:
@@ -48,24 +53,31 @@ class RenderConfig:
 def build_scene(cfg: RenderConfig):
     """Scene-name dispatch -> (Scene, Camera). Host-side, run once."""
     if cfg.scene == "spheres_plane":
-        return scene_mod.spheres_plane(cfg.aspect)
-    if cfg.scene == "cornell":
-        return scene_mod.cornell(cfg.aspect)
-    if cfg.scene == "blob":
+        out = scene_mod.spheres_plane(cfg.aspect)
+    elif cfg.scene == "cornell":
+        out = scene_mod.cornell(cfg.aspect)
+    elif cfg.scene == "blob":
         v, f = meshgen.blob(subdiv=cfg.mesh_subdiv)
-        return scene_mod.mesh_scene(cfg.aspect, v, f)
-    if cfg.scene.startswith("obj:"):
+        out = scene_mod.mesh_scene(cfg.aspect, v, f)
+    elif cfg.scene.startswith("obj:"):
         m = obj_io.load_mesh(cfg.scene[4:])
         if cfg.smooth and not m.has_normals:
             raise ValueError(
                 f"--smooth requested but {cfg.scene[4:]!r} has no vn records"
             )
         if cfg.smooth:
-            return scene_mod.mesh_scene(cfg.aspect, m.verts, m.faces,
-                                        normals=m.normals,
-                                        face_vn=m.face_vn)
-        return scene_mod.mesh_scene(cfg.aspect, m.verts, m.faces)
-    raise ValueError(f"unknown scene {cfg.scene!r}")
+            out = scene_mod.mesh_scene(cfg.aspect, m.verts, m.faces,
+                                       normals=m.normals,
+                                       face_vn=m.face_vn)
+        else:
+            out = scene_mod.mesh_scene(cfg.aspect, m.verts, m.faces)
+    else:
+        raise ValueError(f"unknown scene {cfg.scene!r}")
+    if cfg.aperture > 0.0:
+        from . import camera as camera_mod
+        scn, cam = out
+        out = scn, camera_mod.with_lens(cam, cfg.aperture, cfg.focus_dist)
+    return out
 
 
 # The 5 BASELINE eval configs, frozen (resolutions the configs name; where a

@@ -36,18 +36,28 @@ def _np_scene(scene: Scene) -> Scene:
 
 
 def _gen_rays(cam, width, height, pixel_ids, jitter):
+    """Mirrors camera.generate_rays (thin lens; see A.2): jitter is
+    (4, N) — AA jitter rows 0-1, lens-disk rows 2-3 (identity when the
+    lens vectors are zero)."""
     origin = np.asarray(cam.origin, F)
     lower_left = np.asarray(cam.lower_left, F)
     horizontal = np.asarray(cam.horizontal, F)
     vertical = np.asarray(cam.vertical, F)
+    lens_u = np.asarray(cam.lens_u, F)
+    lens_v = np.asarray(cam.lens_v, F)
     x = (pixel_ids % width).astype(F)
     y = (pixel_ids // width).astype(F)
     s = (x + jitter[0]) / F(width)
     t = (F(height) - (y + jitter[1])) / F(height)
+    lr = np.sqrt(jitter[2])
+    lphi = F(2.0 * np.pi) * jitter[3]
+    lp = (lr * np.cos(lphi)).astype(F)
+    lq = (lr * np.sin(lphi)).astype(F)
+    o = (origin[None] + lp[:, None] * lens_u[None]
+         + lq[:, None] * lens_v[None]).astype(F)
     d = (lower_left[None] + s[:, None] * horizontal[None]
-         + t[:, None] * vertical[None] - origin[None])
-    o = np.broadcast_to(origin[None], d.shape).copy()
-    return o.astype(F), _normalize(d).astype(F)
+         + t[:, None] * vertical[None] - o)
+    return o, _normalize(d).astype(F)
 
 
 # -- intersection (mirrors A.3–A.5 independently) ---------------------------

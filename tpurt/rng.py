@@ -21,7 +21,10 @@ Stream derivation (normative):
 
   streams            = (pixel_id, sample_id, seed) three uint32 (N,) rows
   pair c of stream s = threefry2x32(key=(seed, s + c), ctr=(pixel, sample))
-  camera jitter      = stream CAMERA_STREAM, 1 pair  -> (2, N) uniforms
+  camera draws       = stream CAMERA_STREAM, 2 pairs -> (4, N) uniforms:
+      [0], [1] : pixel-footprint AA jitter
+      [2], [3] : thin-lens disk sample (bits unused at aperture 0; pair
+                 c=0's bits are unchanged from the 1-pair v2 layout)
   bounce b draws     = stream BOUNCE_BASE + 4*b, 3 pairs -> (6, N):
       [0], [1] : direction draws (unit-vector z/phi; shared by materials)
       [2]      : radius draw for random-in-unit-sphere (metal fuzz)
@@ -108,8 +111,8 @@ def make_streams(seed, pixel_ids, sample_ids):
 
 
 def camera_draws(streams):
-    """(3, N) streams -> (2, N) uniforms for pixel-footprint jitter."""
-    return _draw_pairs(streams, CAMERA_STREAM, 1, jnp)
+    """(3, N) streams -> (4, N) uniforms: AA jitter + lens-disk sample."""
+    return _draw_pairs(streams, CAMERA_STREAM, 2, jnp)
 
 
 def bounce_draws(streams, bounce):
@@ -148,7 +151,7 @@ def np_make_streams(seed, pixel_ids, sample_ids):
 def np_camera_draws(seed, pixel_ids, sample_ids):
     with np.errstate(over="ignore"):
         return _draw_pairs(np_make_streams(seed, pixel_ids, sample_ids),
-                           CAMERA_STREAM, 1, np)
+                           CAMERA_STREAM, 2, np)
 
 
 def np_bounce_draws(seed, pixel_ids, sample_ids, bounce):
