@@ -116,6 +116,10 @@ MC_PACKETS = 64
 # Banked-leaf ring size per cursor (leaf enqueues bank here between
 # drains; a cursor stalls only on ring overflow).
 BANK_S = 4
+# Tail multi-drain thresholds: drain 4 ring entries/round at pp <=
+# DRAIN4_MAX packets, 2 at pp <= DRAIN2_MAX, else 1 (see phase-B comment).
+DRAIN4_MAX = 64
+DRAIN2_MAX = 256
 
 
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
@@ -293,7 +297,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             # drains every round, and TAIL stages (small pp, where the
             # straggler lives and dense math is cheap) drain SEVERAL ring
             # entries per round to collapse the leaf-bound tail.
-            n_drains = 4 if pp <= 64 else (2 if pp <= 256 else 1)
+            n_drains = 4 if pp <= DRAIN4_MAX else (
+                2 if pp <= DRAIN2_MAX else 1)
 
             def drain_once(banks, qh, qt, t_best, nx, ny, nz,
                            m_best, g_best, found, it_pend):
