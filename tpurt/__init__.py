@@ -14,7 +14,7 @@ Layer map (SURVEY.md §1):
   materials— branchless diffuse/metal/dielectric scatter (ref L5)
   trace    — megakernel bounce loop (lax.while_loop)     (ref L6)
   wavefront— SoA ray-queue mode with compaction + RR     (ref L6')
-  camera   — pinhole ray-gen with AA jitter              (ref L7)
+  camera   — thin-lens ray-gen with AA jitter            (ref L7)
   scene    — SoA scene pytree + built-in scenes          (ref L8)
   render   — sharded render loop (shard_map over mesh)   (ref L9/L0)
   film     — accumulation, tonemap                       (ref L10)
