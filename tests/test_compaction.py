@@ -94,3 +94,21 @@ def test_staged_chunk_matches_host_loop():
     # entry of each bounce) is capacity + all but the last entry
     assert (np.diff(hist) <= 0).all()
     assert int(rays_b) == q0.o.shape[0] + hist[:-1].sum()
+
+
+def test_wavefront_ragged_block_matches_mega():
+    """_render_wavefront pads the ragged last pixel block with born-dead
+    rays; the padded chunks must not change the image or the ray count
+    vs the megakernel on a frame whose pixel count is NOT a block
+    multiple."""
+    from tpurt import film, render as render_mod
+
+    cfgw = config.RenderConfig(width=50, height=48, spp=2, seed=6,
+                               scene="spheres_plane", mode="wavefront",
+                               max_depth=6, rr_start=3, ray_batch=2048)
+    cfgm = cfgw.replace(mode="mega")
+    scene, cam = config.build_scene(cfgw)
+    fw, sw = render_mod.render(cfgw, scene, cam)
+    fm, sm = render_mod.render(cfgm, scene, cam)
+    assert sw["rays"] == sm["rays"]
+    assert float(film.rmse(fw, fm)) < 1e-6

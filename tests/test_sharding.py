@@ -100,3 +100,18 @@ def test_one_device_mesh_degenerate(sp, single):
                                      mesh)
     assert sm["devices"] == 1
     assert film_mod.rmse(f1, fm) < 1e-7
+
+
+def test_sub_block_loop_matches_single(sp, single, monkeypatch):
+    """config 5's on-device per-chip sub-block loop (mesh.SUB_BLOCK) is
+    only reached when a chip's pixel block exceeds the tuned batch size;
+    shrink the constant so the tiny test frame exercises it, and require
+    the image AND ray count to match the unsharded render."""
+    scene, cam = sp
+    f1, s1 = single
+    monkeypatch.setattr(mesh_mod, "SUB_BLOCK", 128)
+    mesh = mesh_mod.make_mesh(2)  # 48*32/2 = 768 px/chip -> 6 sub-blocks
+    fm, sm = mesh_mod.render_sharded(CFG.replace(shard="tiles"), scene, cam,
+                                     mesh)
+    assert sm["rays"] == s1["rays"]
+    assert film_mod.rmse(f1, fm) < 1e-6
