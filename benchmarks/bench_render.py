@@ -31,7 +31,10 @@ RESULTS = Path(__file__).resolve().parent / "results"
 # Reduced-size bench variants: same scenes/mode/physics as the presets,
 # smaller sample budgets so a full sweep stays minutes, not hours.
 BENCH_CONFIGS = {
-    "c1-primary": dict(width=640, height=480, spp=4, scene="spheres_plane",
+    # c1 at 32 spp (round-3 VERDICT item 9): at 4 spp the 1.2M-ray run
+    # finished in ~0.1 s — one dispatch+fetch floor, not compute. 32 spp
+    # amortizes the dispatch so Mrays/s means throughput.
+    "c1-primary": dict(width=640, height=480, spp=32, scene="spheres_plane",
                        mode="primary"),
     "c2-cornell": dict(width=512, height=512, spp=8, scene="cornell",
                        mode="mega", max_depth=8),
@@ -80,36 +83,39 @@ def run_one(name: str, kw: dict, with_rmse: bool = True) -> dict:
     cfg = config.RenderConfig(seed=0, **kw)
     scene, cam = config.build_scene(cfg)
 
-    # best-of-REPS timing: wall times through the axon relay vary +-35%
-    # run to run (measured in round 2), so a single pass cannot gate
-    # regressions; the best pass is the stable device-speed estimate.
-    REPS = 3
+    # Timing protocol (round-3 VERDICT item 8): wall times through the
+    # axon relay vary +-35% run to run, so the BEST of REPS passes is the
+    # device-speed estimate (recorded as mrays_per_s, the headline) and
+    # the MEDIAN of the same passes is the noise-robust gate statistic
+    # (recorded as mrays_median; see gate_failures).
+    REPS = 5
+    walls: list[float] = []
     if cfg.shard != "none":
         m = mesh.make_mesh()
         # warmup: compile + 1 sample over the mesh
         film, _ = mesh.render_samples_sharded(cfg, scene, cam, 0, 1, mesh=m)
-        wall = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             film, rays = mesh.render_samples_sharded(
                 cfg, scene, cam, 1, 1 + cfg.spp,
                 np.zeros_like(film), mesh=m,
             )  # returns a host array: already synced
-            wall = min(wall, time.perf_counter() - t0)
+            walls.append(time.perf_counter() - t0)
         devices = m.size
     else:
         scene = scene.device()
         # warmup: compile + 1 sample
         film, _ = render.render_samples(cfg, scene, cam, 0, 1)
         jax.block_until_ready(film)
-        wall = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             film, rays = render.render_samples(
                 cfg, scene, cam, 1, 1 + cfg.spp, jnp.zeros_like(film))
             float(jnp.sum(film))  # host fetch = reliable sync here
-            wall = min(wall, time.perf_counter() - t0)
+            walls.append(time.perf_counter() - t0)
         devices = 1
+    wall = min(walls)
+    wall_median = sorted(walls)[len(walls) // 2]
 
     from tpurt import metrics
 
@@ -124,6 +130,8 @@ def run_one(name: str, kw: dict, with_rmse: bool = True) -> dict:
         "spp_per_s_1080p": round(stats["spp_per_s_1080p"], 4),
         "rays": stats["rays"],
         "wall_s": round(wall, 3),
+        "wall_median_s": round(wall_median, 3),
+        "mrays_median": round(stats["mrays_per_s"] * wall / wall_median, 3),
         "devices": devices,
         "config": kw,
     }
@@ -131,6 +139,46 @@ def run_one(name: str, kw: dict, with_rmse: bool = True) -> dict:
         rec["rmse_vs_oracle"] = round(rmse_vs_oracle(kw), 6)
     print(json.dumps(rec), flush=True)
     return rec
+
+
+GATE_MARGIN = 0.85
+GATE_WINDOW = 5
+
+
+def gate_failures(records: list[dict], history: list[dict],
+                  margin: float = GATE_MARGIN,
+                  window: int = GATE_WINDOW) -> list[str]:
+    """Noise-robust regression gate (round-3 VERDICT item 8).
+
+    The round-2 gate compared best-of-3 wall against the ALL-TIME best
+    with a 10% margin — through a relay whose wall times vary +-35% that
+    tripped on pure noise mid-round (the 1786940609 sweep). This gate
+    compares each record's MEDIAN-of-REPS throughput (``mrays_median``;
+    best-of falls back for pre-round-3 records) against the median of the
+    last `window` prior records on the same backend, requiring
+    `margin` * reference. Median-vs-median cancels the relay's one-sided
+    outliers on both ends; a genuine 20% slowdown still trips
+    (0.8 < 0.85), which tests/test_bench_gate.py asserts synthetically.
+
+    Returns a list of human-readable failure strings (empty = pass).
+    """
+    fails = []
+    for rec in records:
+        prior = [h for h in history
+                 if h["name"] == rec["name"]
+                 and h["backend"] == rec["backend"]
+                 and h["ts"] < rec["ts"]]
+        vals = [h.get("mrays_median", h["mrays_per_s"])
+                for h in prior[-window:]]
+        if not vals:
+            continue
+        ref = sorted(vals)[len(vals) // 2]
+        now = rec.get("mrays_median", rec["mrays_per_s"])
+        if now < margin * ref:
+            fails.append(
+                f"REGRESSION: {rec['name']} median {now} < "
+                f"{margin} * recent-median {ref}")
+    return fails
 
 
 def main() -> int:
@@ -159,15 +207,11 @@ def main() -> int:
 
     if args.check:
         history = [json.loads(line) for line in open(hist_path)]
-        for rec in records:
-            prior = [h["mrays_per_s"] for h in history
-                     if h["name"] == rec["name"]
-                     and h["backend"] == rec["backend"]
-                     and h["ts"] < rec["ts"]]
-            if prior and rec["mrays_per_s"] < 0.9 * max(prior):
-                print(f"REGRESSION: {rec['name']} {rec['mrays_per_s']} "
-                      f"< 0.9 * best {max(prior)}", file=sys.stderr)
-                return 1
+        fails = gate_failures(records, history)
+        for f_ in fails:
+            print(f_, file=sys.stderr)
+        if fails:
+            return 1
     return 0
 
 

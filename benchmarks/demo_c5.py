@@ -1,0 +1,144 @@
+"""Config-5 at contract scale: a checkpointed 4K tile-sharded render,
+KILLED mid-run and resumed (round-3 VERDICT item 4 / next-round item 6).
+
+BASELINE config 5 is "multi-chip tile-sharded render with ICI
+accumulation allreduce, 4K, 1024 spp"; bench sweeps only ever ran a
+2-spp proxy. This driver executes the subsystem the checkpoint code was
+written for, end to end, through the real CLI surface:
+
+  1. launch `tpurt.cli render` at 4K, 64 spp, tile-sharded,
+     --checkpoint every 8 spp;
+  2. watch the checkpoint file; once a checkpoint with spp_done >= 16
+     is published, SIGKILL the renderer (simulated preemption — no
+     cleanup runs);
+  3. relaunch with --resume and let it finish;
+  4. verify: the resumed stats report resumed_from_spp > 0, the image
+     loads, and the same config at the RMSE probe sub-resolution
+     matches the NumPy oracle (the bench parity bar);
+  5. append a `c5-demo` record to benchmarks/results/history.jsonl with
+     the kill/resume event chain.
+
+Usage: python benchmarks/demo_c5.py [--spp 64] [--kill-after 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+CKPT = "/tmp/c5_demo.ckpt.npz"
+OUT = "/tmp/c5_demo.ppm"
+
+C5 = dict(width=3840, height=2160, scene="blob", mode="mega",
+          max_depth=16, rr_start=3, shard="tiles")
+
+
+def cli_args(spp: int, resume: bool) -> list[str]:
+    a = [sys.executable, "-m", "tpurt.cli", "render",
+         "--width", str(C5["width"]), "--height", str(C5["height"]),
+         "--spp", str(spp), "--scene", C5["scene"], "--mode", C5["mode"],
+         "--max-depth", str(C5["max_depth"]),
+         "--rr-start", str(C5["rr_start"]), "--shard", C5["shard"],
+         "--seed", "0", "--checkpoint", CKPT, "--checkpoint-every", "8",
+         "--out", OUT]
+    if resume:
+        a.append("--resume")
+    return a
+
+
+def ckpt_spp_done() -> int:
+    import numpy as np
+    if not os.path.exists(CKPT):
+        return -1
+    try:
+        with np.load(CKPT) as z:
+            return int(z["spp_done"])
+    except Exception:
+        return -1  # mid-publish; os.replace makes this transient
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--kill-after", type=int, default=16,
+                    help="SIGKILL once a checkpoint with this many spp "
+                         "is on disk")
+    args = ap.parse_args()
+    events = []
+
+    for f in (CKPT, OUT):
+        if os.path.exists(f):
+            os.remove(f)
+
+    t0 = time.time()
+    p = subprocess.Popen(cli_args(args.spp, resume=False),
+                         cwd=ROOT, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+    events.append({"event": "launch", "ts": round(time.time() - t0, 1)})
+    killed = False
+    while p.poll() is None:
+        done = ckpt_spp_done()
+        if done >= args.kill_after:
+            p.send_signal(signal.SIGKILL)  # simulated preemption
+            p.wait()
+            killed = True
+            events.append({"event": "sigkill", "at_spp": done,
+                           "ts": round(time.time() - t0, 1)})
+            break
+        time.sleep(2.0)
+    if not killed:
+        print("renderer finished before the kill point — rerun with a "
+              "larger --spp or smaller --kill-after", file=sys.stderr)
+        return 1
+
+    p2 = subprocess.run(cli_args(args.spp, resume=True),
+                        cwd=ROOT, capture_output=True, text=True)
+    events.append({"event": "resume_launch",
+                   "ts": round(time.time() - t0, 1)})
+    if p2.returncode != 0:
+        print(p2.stdout[-2000:], p2.stderr[-2000:], file=sys.stderr)
+        return 1
+    stats_line = [ln for ln in p2.stdout.splitlines()
+                  if '"resumed_from_spp"' in ln][-1]
+    stats = json.loads(stats_line)
+    assert stats["resumed_from_spp"] and stats["resumed_from_spp"] >= \
+        args.kill_after, stats["resumed_from_spp"]
+    events.append({"event": "finished", "spp": args.spp,
+                   "resumed_from_spp": stats["resumed_from_spp"],
+                   "mrays_per_s": stats["mrays_per_s"],
+                   "rays_after_resume": stats["rays"],
+                   "ts": round(time.time() - t0, 1)})
+
+    from tpurt.io import ppm
+    img = ppm.read(OUT)
+    assert img.shape == (C5["height"], C5["width"], 3)
+
+    # parity: same config at the probe sub-resolution vs the NumPy oracle
+    from bench_render import rmse_vs_oracle
+    rmse = rmse_vs_oracle(dict(C5, spp=2))
+    events.append({"event": "rmse_probe", "rmse_vs_oracle": rmse})
+
+    rec = {"name": "c5-demo", "ts": round(time.time(), 1),
+           "backend": "tpu", "spp": args.spp,
+           "resumed_from_spp": stats["resumed_from_spp"],
+           "mrays_per_s_after_resume": stats["mrays_per_s"],
+           "wall_s_after_resume": round(stats["wall_s"], 1),
+           "rmse_vs_oracle": round(rmse, 6), "events": events,
+           "config": dict(C5, spp=args.spp)}
+    with open(ROOT / "benchmarks/results/history.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,6 +75,8 @@ def main() -> None:
             pk = bvh.build_packet(v0, v0 + e1, v0 + e2, tm, leaf_n=ln)
             bvh.PACKET_LEAF_N = ln   # traverse reads it at trace time
             s2 = scene_h._replace(pk_nodes=pk.nodes, pk_leaves=pk.leaves,
+                                  pk8_nodes=None, pk8_leaves=None,
+                                  pk8_cut=None,
                                   pk_cut=pk.cut).device()
             trav = jax.jit(lambda o, d, t, s2=s2: traverse.packet_nearest_tri(
                 s2, o, d, t)[0])

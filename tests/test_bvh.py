@@ -50,3 +50,89 @@ def test_single_triangle_tree():
     bvh.validate(tree)
     assert tree.lo.shape[0] == 1 and tree.count[0] == 1
     assert tree.skip[0] == -1
+
+
+def _rand_rays(n, seed=3):
+    rs = np.random.default_rng(seed)
+    o = rs.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    target = rs.uniform(-0.8, 0.8, size=(n, 3))
+    d = (target - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_wide_build_invariants(micro_mesh):
+    """PacketBVH8 structural invariants (round-3 wide-fanout layout)."""
+    pk8 = bvh.build_packet8(*_soup(micro_mesh))
+    mw = pk8.n_nodes
+    assert pk8.nodes.shape == (mw, bvh.WIDE_F)
+    metas = pk8.nodes[:, 48:56].view(np.int32)
+    skip = pk8.nodes[:, 56].view(np.int32)
+    base = pk8.nodes[:, 57].view(np.int32)
+    n_leaf_rows = pk8.leaves.shape[0]
+    ranks_seen = 0
+    for row in range(mw):
+        n_leaf_kids = 0
+        for m in metas[row]:
+            if m < 0:
+                continue  # empty slot
+            if m & 1:
+                rank = m >> 1
+                assert rank == n_leaf_kids  # contiguous child-order ranks
+                assert base[row] + rank < n_leaf_rows
+                n_leaf_kids += 1
+            else:
+                child = m >> 1
+                assert row < child < mw  # DFS forward
+        ranks_seen += n_leaf_kids
+        s = skip[row]
+        assert s == -1 or row < s <= mw
+    assert ranks_seen == n_leaf_rows  # every leaf row owned exactly once
+    # every triangle appears exactly once across leaf rows (gid slots)
+    gids = pk8.leaves.reshape(n_leaf_rows, bvh.LEAF_F,
+                              bvh.PACKET_LEAF_N)[:, 10].view(np.int32)
+    real = gids[gids >= 0]
+    assert sorted(real.tolist()) == list(range(len(micro_mesh[1])))
+
+
+def test_wide_traversal_matches_binary(micro_mesh):
+    """Wide (8-ary) and binary packet traversal agree exactly: same found
+    mask, same t, same winner gid/mat (the layouts intersect identical
+    triangle rows; only the visit schedule differs)."""
+    from tpurt.kernels import traverse
+
+    v, f = micro_mesh
+    sc, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+    sc = sc.device()
+    assert sc.pk8_nodes is not None
+    o, d = _rand_rays(1024)
+    t_max = jnp.full(o.shape[0], geometry.INF)
+
+    old = traverse.WIDE_ENABLE
+    try:
+        traverse.WIDE_ENABLE = True
+        wide = traverse.packet_nearest_tri(sc, o, d, t_max)
+    finally:
+        traverse.WIDE_ENABLE = old
+    sc_bin = sc._replace(pk8_nodes=None, pk8_leaves=None, pk8_cut=None)
+    binry = traverse.packet_nearest_tri(sc_bin, o, d, t_max)
+
+    t8, n8, m8, f8, g8 = (np.asarray(x) for x in wide)
+    t2, n2, m2, f2, g2 = (np.asarray(x) for x in binry)
+    assert np.array_equal(f8, f2)
+    assert np.array_equal(t8[f2], t2[f2])
+    assert np.array_equal(g8[f2], g2[f2])
+    assert np.array_equal(m8[f2], m2[f2])
+    assert np.array_equal(n8[f2], n2[f2])
+
+
+def test_wide_single_leaf_tree():
+    """Degenerate wide tree over <= PACKET_LEAF_N triangles: one row whose
+    child 0 is the only leaf, empty slots meta -1."""
+    v0 = np.array([[0, 0, 0], [2, 0, 0]], np.float32)
+    v1 = np.array([[1, 0, 0], [3, 0, 0]], np.float32)
+    v2 = np.array([[0, 1, 0], [2, 1, 0]], np.float32)
+    pk8 = bvh.build_packet8(v0, v1, v2, np.zeros(2, np.int32))
+    assert pk8.n_nodes == 1 and pk8.leaves.shape[0] == 1
+    metas = pk8.nodes[:, 48:56].view(np.int32)
+    assert metas[0, 0] == 1 and np.all(metas[0, 1:] == -1)

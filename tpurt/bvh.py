@@ -404,6 +404,231 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
                      n_nodes=mi, cut=cut)
 
 
+WIDE_FANOUT = 8
+WIDE_F = 64  # f32 slots per wide node row
+
+
+class PacketBVH8(NamedTuple):
+    """Wide-fanout (8-ary) child-in-parent layout (round-3 VERDICT item 1).
+
+    The binary CIP layout (PacketBVH) won round 2 by testing TWO subtrees
+    per row gather; the measured gather cost (~1.3-8 ns/row nearly
+    independent of row width, kernels/traverse.py docstring) says a
+    64-f32 row testing EIGHT subtrees costs the same gather — cutting
+    tree depth, and with it the serial gather->slab->select chain the
+    round-cost wall analysis blames (BASELINE.md "Why c3 is not at 20+"),
+    by ~3x vs binary.
+
+      nodes: (Mw, 64) f32 — one row per wide node, DFS order,
+        COMPONENT-MAJOR boxes so the slab math slices contiguous blocks:
+          slots  0..7   lo_x of child 0..7      24..31  hi_x
+          slots  8..15  lo_y                    32..39  hi_y
+          slots 16..23  lo_z                    40..47  hi_z
+          slots 48..55  meta[8] (int32 bits):
+                          inner child -> (wide_row << 1) | 0
+                          leaf child  -> (leaf_rank << 1) | 1
+                          empty slot  -> -1 (traversal masks on meta < 0;
+                          an "inverted box never hits" encoding is WRONG —
+                          the slab test's per-axis min/max un-inverts it
+                          into a hit-everything box, a latent waste bug in
+                          the binary layout's single-leaf degenerate row
+                          that is only harmless there because leaf id 0 is
+                          idempotent. Empty boxes here are zeros, which
+                          also keeps debug_nans renders clean.)
+          slot  56      skip (int32 bits; next DFS row after this subtree,
+                        -1 exits)
+          slot  57      leaf_base (int32 bits; the row in `leaves` of this
+                        node's FIRST leaf child — leaf children are laid
+                        out contiguously, child-order, so leaf child with
+                        rank r lives at leaves[leaf_base + r])
+          slots 58..63  pad (zeros)
+      leaves: (L, LEAF_F * PACKET_LEAF_N) f32 — identical per-row format
+        to PacketBVH.leaves, but re-ordered so each wide node's leaf
+        children are contiguous. This lets a traversal visit enqueue ALL
+        its hit leaf children as ONE ring entry (leaf_base << 8 | hitmask)
+        instead of up to 8 pushes; the drain phase pops one set bit per
+        drain (kernels/traverse.py).
+      cut: (8, 2) int32 — disjoint row spans for the multi-cursor tail,
+        same contract as PacketBVH.cut.
+
+    Topology: the same binned-SAH binary tree as build_packet, greedily
+    collapsed — each wide node's children start as the binary node's two
+    children and the largest-triangle-count inner child is repeatedly
+    replaced by its two children (order-preserving) until 8 slots are
+    filled or every child is a leaf.
+    """
+
+    nodes: np.ndarray    # (Mw, 64) f32
+    leaves: np.ndarray   # (L, PACKET_LEAF_N*LEAF_F) f32
+    n_nodes: int
+    cut: np.ndarray      # (8, 2) int32
+
+
+def build_packet8(v0, v1, v2, mat,
+                  leaf_n: int = PACKET_LEAF_N) -> PacketBVH8:
+    """Build the wide-fanout CIP layout (binned-SAH topology collapsed)."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    mat = np.asarray(mat, np.int32)
+    ntri = v0.shape[0]
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+    centroid = (tlo + thi) * 0.5
+
+    # --- binary topology (same recursion as build_packet) ------------------
+    n_lo: list = []
+    n_hi: list = []
+    n_kids: list = []
+    n_leaf: list = []     # leaf-run id or -1
+    n_count: list = []    # subtree triangle count (expansion priority)
+    leaf_runs: list = []
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+
+    def rec(idx: np.ndarray) -> int:
+        nid = len(n_lo)
+        n_lo.append(tlo[idx].min(axis=0))
+        n_hi.append(thi[idx].max(axis=0))
+        n_kids.append((-1, -1))
+        n_leaf.append(-1)
+        n_count.append(idx.size)
+        if idx.size <= leaf_n:
+            n_leaf[nid] = len(leaf_runs)
+            leaf_runs.append(idx)
+        else:
+            left_idx, right_idx, _ = _sah_partition(idx, tlo, thi,
+                                                    centroid, leaf_n)
+            left = rec(left_idx)
+            right = rec(right_idx)
+            n_kids[nid] = (left, right)
+        return nid
+
+    root = rec(np.arange(ntri, dtype=np.int64))
+
+    # --- greedy 3-level collapse + wide DFS emission -----------------------
+    def children_of(nid: int) -> list[int]:
+        kids = list(n_kids[nid])
+        while len(kids) < WIDE_FANOUT:
+            inner = [(n_count[k], i) for i, k in enumerate(kids)
+                     if n_leaf[k] < 0]
+            if not inner:
+                break
+            _, i = max(inner)
+            kids[i:i + 1] = list(n_kids[kids[i]])
+        return kids
+
+    row_boxes: list = []     # (lo (8,3), hi (8,3))
+    row_meta: list = []      # list of 8 ints
+    row_base: list = []      # leaf_base
+    leaf_order: list = []    # run ids in new leaf-row order
+
+    def emit(nid: int) -> int:
+        kids = children_of(nid)
+        row = len(row_meta)
+        row_meta.append(None)
+        row_boxes.append(None)
+        row_base.append(0)
+        lo = np.zeros((WIDE_FANOUT, 3), np.float32)
+        hi = np.zeros((WIDE_FANOUT, 3), np.float32)
+        meta = [-1] * WIDE_FANOUT
+        base = len(leaf_order)
+        rank = 0
+        for i, k in enumerate(kids):
+            lo[i], hi[i] = n_lo[k], n_hi[k]
+            if n_leaf[k] >= 0:
+                meta[i] = (rank << 1) | 1
+                leaf_order.append(n_leaf[k])
+                rank += 1
+        # inner children emitted AFTER this row's leaf-run assignment so
+        # each wide node's leaf children stay contiguous
+        for i, k in enumerate(kids):
+            if n_leaf[k] < 0:
+                meta[i] = emit(k) << 1
+        row_boxes[row] = (lo, hi)
+        row_meta[row] = meta
+        row_base[row] = base
+        return row
+
+    if n_kids[root][0] >= 0:
+        emit(root)
+        mw = len(row_meta)
+    else:
+        # single-leaf tree: one degenerate row, child 0 = the leaf
+        lo = np.zeros((WIDE_FANOUT, 3), np.float32)
+        hi = np.zeros((WIDE_FANOUT, 3), np.float32)
+        lo[0], hi[0] = n_lo[root], n_hi[root]
+        row_boxes.append((lo, hi))
+        row_meta.append([1] + [-1] * (WIDE_FANOUT - 1))
+        row_base.append(0)
+        leaf_order.append(n_leaf[root])
+        mw = 1
+    sys.setrecursionlimit(old)
+
+    # subtree sizes -> skip links (DFS property, reverse order)
+    size = np.ones(mw, np.int64)
+    for row in range(mw - 1, -1, -1):
+        for m in row_meta[row]:
+            if not (m & 1):
+                size[row] += size[m >> 1]
+    skip = np.arange(mw, dtype=np.int64) + size
+    skip = np.where(skip >= mw, -1, skip).astype(np.int32)
+
+    nodes = np.zeros((mw, WIDE_F), np.float32)
+    for row in range(mw):
+        lo, hi = row_boxes[row]
+        for c in range(3):
+            nodes[row, c * 8:(c + 1) * 8] = lo[:, c]
+            nodes[row, 24 + c * 8:24 + (c + 1) * 8] = hi[:, c]
+    nodes[:, 48:56] = np.asarray(row_meta, np.int32).view(np.float32)
+    nodes[:, 56] = skip.view(np.float32)
+    nodes[:, 57] = np.asarray(row_base, np.int32).view(np.float32)
+
+    # --- packed leaf rows in wide order ------------------------------------
+    n_rows = len(leaf_order)
+    leaves = np.zeros((n_rows, LEAF_F, leaf_n), np.float32)
+    leaves[:, 10, :] = np.full((n_rows, leaf_n), -1,
+                               np.int32).view(np.float32)
+    for row, run_id in enumerate(leaf_order):
+        run = leaf_runs[run_id]
+        k = run.size
+        leaves[row, 0:3, :k] = v0[run].T
+        leaves[row, 3:6, :k] = (v1[run] - v0[run]).T
+        leaves[row, 6:9, :k] = (v2[run] - v0[run]).T
+        leaves[row, 9, :k] = mat[run].view(np.float32)
+        leaves[row, 10, :k] = run.astype(np.int32).view(np.float32)
+
+    # --- K-way row-span cut (multi-cursor tail; same contract as binary:
+    # every span starts at a subtree root or at a row whose preceding
+    # split kept the parent in the other span, so skip chains cover it) --
+    pieces = [(0, mw)]
+    while len(pieces) < 8:
+        pieces.sort(key=lambda se: se[0] - se[1])   # largest first
+        for i, (s, e) in enumerate(pieces):
+            if e - s < 2:
+                continue
+            # split at the inner-child row of s nearest the span middle
+            kid_rows = [m >> 1 for m in row_meta[s]
+                        if not (m & 1) and s < (m >> 1) < e]
+            if kid_rows:
+                mid = min(kid_rows, key=lambda r: abs(r - (s + e) // 2))
+            else:
+                mid = s + 1
+            pieces.pop(i)
+            pieces.extend([(s, mid), (mid, e)])
+            break
+        else:
+            break
+    cut = np.full((8, 2), -1, np.int32)
+    for i, (s, e) in enumerate(sorted(pieces)):
+        cut[i] = (s, e)
+
+    return PacketBVH8(nodes=nodes,
+                      leaves=leaves.reshape(n_rows, LEAF_F * leaf_n),
+                      n_nodes=mw, cut=cut)
+
+
 def validate(b: BVH) -> None:
     """Structural invariants, used by tests (SURVEY.md §4 'BVH' row)."""
     m = b.lo.shape[0]

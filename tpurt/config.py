@@ -59,6 +59,12 @@ def build_scene(cfg: RenderConfig):
     elif cfg.scene == "blob":
         v, f = meshgen.blob(subdiv=cfg.mesh_subdiv)
         out = scene_mod.mesh_scene(cfg.aspect, v, f)
+    elif cfg.scene == "glassblob":
+        # dielectric-bodied blob: the occupancy-decay stress workload
+        # (see scene.mesh_scene body_mat)
+        v, f = meshgen.blob(subdiv=cfg.mesh_subdiv)
+        out = scene_mod.mesh_scene(cfg.aspect, v, f,
+                                   body_mat="dielectric")
     elif cfg.scene.startswith("obj:"):
         m = obj_io.load_mesh(cfg.scene[4:])
         if cfg.smooth and not m.has_normals:

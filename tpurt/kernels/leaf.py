@@ -10,9 +10,16 @@ with a grid over packet blocks, keeping every intermediate in VMEM
 leaf rows (P×LN×12 f32), ray SoA (7×P×128 f32), winner outputs
 (6×P×128 f32).
 
-Float-op ordering note: the arithmetic is written identically to the jnp
-phase (same expression tree), and TPU VPU ops are IEEE f32, so results are
-bit-identical to the jnp leaf phase — goldens are unaffected by switching.
+Float-op ordering note: the t/valid arithmetic is written identically to
+the jnp phase (same expression tree), and TPU VPU ops are IEEE f32, so the
+t window math is bit-identical to the jnp leaf phase. The WINNER CONTRACT
+differs, however: this kernel writes mat/gid = -1 and normals = 0 where
+the leaf improved nothing, while the inline phase B carries the previous
+m_best/n accumulators through jnp.where(better, ...). Switching the
+production path to this kernel as-is would therefore change outputs; a
+caller must re-merge (t, better) against its own accumulators. The module
+is probe-only (measured 3x slower than the fused XLA phase — see
+kernels/traverse.py module docstring), so this stays latent.
 """
 
 from __future__ import annotations

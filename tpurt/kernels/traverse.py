@@ -104,6 +104,13 @@ PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 # v5e: {3: 14.1, 4: 11.9, 6: 10.26, 8: 10.11, 12: 15.3} ms on the c3
 # bounce-1 workload — 8 wins both bounce and primary slightly.
 ADV_STEPS = 8
+# node steps per round over the WIDE (8-ary) layout: each step covers ~3
+# binary levels, so fewer steps sustain the same leaf-enqueue rate.
+# Tuned round 3 on the c3 bounce-1 workload (benchmarks/probe_fanout.py).
+ADV_STEPS_WIDE = 3
+# Production switch for the wide layout — see the selection comment in
+# packet_nearest_tri (measured slower under the current round regime).
+WIDE_ENABLE = False
 MC_K = 8        # subtree cursors per packet (multi-cursor traversal)
 # Multi-cursor only pays for traversals that START narrow (deep-bounce
 # tail batches): at full width it was re-measured a LOSS in round 2
@@ -116,10 +123,13 @@ MC_PACKETS = 64
 # Banked-leaf ring size per cursor (leaf enqueues bank here between
 # drains; a cursor stalls only on ring overflow).
 BANK_S = 4
-# Tail multi-drain thresholds: drain 4 ring entries/round at pp <=
-# DRAIN4_MAX packets, 2 at pp <= DRAIN2_MAX, else 1 (see phase-B comment).
+# Batched-drain widths per stage: DRAIN_N = (tail, mid, full) ring
+# entries drained per round as ONE dense phase, for pp <= DRAIN4_MAX /
+# pp <= DRAIN2_MAX / larger (see the phase-B comment; tuned in
+# benchmarks/probe_drainbatch.py).
 DRAIN4_MAX = 64
 DRAIN2_MAX = 256
+DRAIN_N = (4, 2, 1)
 
 
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
@@ -194,10 +204,20 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-    nodes = scene.pk_nodes                         # (Mi, 16)
-    leaves = scene.pk_leaves                       # (L, LN*10)
+    # Wide-fanout (8-ary) layout (bvh.PacketBVH8): one 64-f32 row gather
+    # tests EIGHT subtrees, shortening the straggler walk 2.9x (990 ->
+    # 330 visits) — but per-round it tests MORE boxes (3x8 vs 8x2), and
+    # under the measured walk-gated round regime that box volume loses:
+    # bounce-1 12.4 vs 10.2 ms (probe_fanout.py, probe_drainbatch.py).
+    # Gated off in production until a regime change flips the trade
+    # (probe_advdrain.py re-auditions it with keep-up drains).
+    wide = WIDE_ENABLE and scene.pk8_nodes is not None
+    nodes = scene.pk8_nodes if wide else scene.pk_nodes  # (Mw,64)|(Mi,16)
+    leaves = scene.pk8_leaves if wide else scene.pk_leaves
+    cut = scene.pk8_cut if wide else scene.pk_cut
     n_total = nodes.shape[0]
-    use_mc = scene.pk_cut is not None
+    use_mc = cut is not None
+    adv_steps = ADV_STEPS_WIDE if wide else ADV_STEPS
 
     def node_fields(nid):
         rows = nodes[nid]                          # (P, 16)
@@ -222,6 +242,23 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             hits.append(tn <= tf)
         both = jnp.any(jnp.stack(hits, axis=1), axis=-1)   # (P, 2)
         return both[:, 0], both[:, 1]
+
+    def slab_any8(rows, t_best, oxs, ixs):
+        """Per-lane slab test of all EIGHT child boxes of a wide row
+        (component-major: lo_c at slot c*8+k, hi_c at 24+c*8+k for child
+        k), reduced over lanes in ONE fused (P,8,R)->(P,8) reduction —
+        the same single-link discipline as slab_any2."""
+        hits = []
+        for k in range(8):
+            tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
+            tf = t_best
+            for c in range(3):
+                t0 = (rows[:, c * 8 + k, None] - oxs[c]) * ixs[c]
+                t1 = (rows[:, 24 + c * 8 + k, None] - oxs[c]) * ixs[c]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hits.append(tn <= tf)
+        return jnp.any(jnp.stack(hits, axis=1), axis=-1)   # (P, 8)
 
     def make_outer():
         """Round body over the (possibly virtual, see mc_wide) packet
@@ -281,49 +318,141 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 nd = jnp.where(ok, nxt, nd)
                 return nd, banks, qh, qt
 
-            for _ in range(ADV_STEPS):
-                node, banks, qh, qt = adv_step(node, banks, qh, qt)
-            if with_counters:
-                it_adv = it_adv + ADV_STEPS
+            def adv_step_wide(nd, banks, qh, qt):
+                """One step over the 8-ary layout (bvh.PacketBVH8). A
+                visit tests all 8 child boxes from ONE row gather; every
+                hit LEAF child folds into a single ring entry
+                (leaf_base << 8) | hitmask — drains pop one set bit per
+                drain — and the cursor descends to the FIRST hit inner
+                child (lowest row; later hit siblings arrive via the DFS
+                skip chain exactly as in the binary layout)."""
+                cnt = qt - qh
+                act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
+                rows = nodes[jnp.maximum(nd, 0)]               # (P, 64)
+                metas = jax.lax.bitcast_convert_type(
+                    rows[:, 48:56], jnp.int32)                 # (P, 8)
+                skip = jax.lax.bitcast_convert_type(rows[:, 56], jnp.int32)
+                base = jax.lax.bitcast_convert_type(rows[:, 57], jnp.int32)
+                hits = slab_any8(rows, t_best, oxs, ixs)       # (P, 8)
+                # meta < 0 marks an empty slot (see bvh.PacketBVH8: an
+                # inverted box does NOT fail the slab test)
+                ehit = hits & (metas >= 0) & act[:, None]
+                is_leaf = (metas & 1) == 1
+                leaf_hit = ehit & is_leaf
+                inner_hit = ehit & ~is_leaf
+                rank = metas >> 1       # leaf rank / inner row, by kind
+                leafmask = jnp.sum(
+                    jnp.where(leaf_hit, jnp.left_shift(1, rank), 0),
+                    axis=1)
+                nxt = skip
+                for k in range(7, -1, -1):   # first hit inner child wins
+                    nxt = jnp.where(inner_hit[:, k], rank[:, k], nxt)
+                nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
+                entry = jnp.left_shift(base, 8) | leafmask
+                do1 = act & (leafmask > 0)
+                t0 = qt % BANK_S
+                banks = [jnp.where(do1 & (t0 == k), entry, bk)
+                         for k, bk in enumerate(banks)]
+                qt = qt + do1.astype(jnp.int32)
+                nd = jnp.where(act, nxt, nd)
+                return nd, banks, qh, qt
 
-            # Phase B: dense leaf intersection, draining the ring heads.
+            step_fn = adv_step_wide if wide else adv_step
+            for _ in range(adv_steps):
+                node, banks, qh, qt = step_fn(node, banks, qh, qt)
+            if with_counters:
+                it_adv = it_adv + adv_steps
+
+            # Phase B: dense leaf intersection, draining ring heads.
             # Measured design history (benchmarks/probe_roundcost.py):
             # pending-packet compaction (gather pending packets into a
             # cap-sized block before the dense math) LOSES — the cap turns
             # into a drain-rate limit and the round count balloons
             # 228 -> 521+ (rounds are gated by the STRAGGLER packet's leaf
-            # backlog, drained 1/round, not by node-chain length: doubling
-            # ADV_STEPS only took 228 -> 216). So: every pending packet
-            # drains every round, and TAIL stages (small pp, where the
-            # straggler lives and dense math is cheap) drain SEVERAL ring
-            # entries per round to collapse the leaf-bound tail.
-            n_drains = 4 if pp <= DRAIN4_MAX else (
-                2 if pp <= DRAIN2_MAX else 1)
+            # backlog, not by node-chain length: doubling ADV_STEPS only
+            # took 228 -> 216). So: every pending packet drains every
+            # round — and since round 3, multiple ring entries drain as
+            # ONE BATCHED dense phase over (P, D*LN, R): the round-2
+            # design ran D sequential drain chains (~15 serial links
+            # each); batching pays the same dense flops in a single chain,
+            # so the leaf-gated round count divides by D at ~constant
+            # round cost (benchmarks/probe_drainbatch.py).
+            n_drains = DRAIN_N[0] if pp <= DRAIN4_MAX else (
+                DRAIN_N[1] if pp <= DRAIN2_MAX else DRAIN_N[2])
 
-            def drain_once(banks, qh, qt, t_best, nx, ny, nz,
-                           m_best, g_best, found, it_pend):
-                pending = qt > qh
+            def drain_batch(D, banks, qh, qt, t_best, nx, ny, nz,
+                            m_best, g_best, found, it_pend):
+                """Pop up to D leaf rows per packet and intersect them in
+                one dense (P, D*LN, R) phase. Winner order is identical
+                to D sequential single drains: rows keep pop order on the
+                flattened axis and argmin takes the first minimum, so
+                ties resolve exactly as before (goldens unaffected)."""
+
+                def head_at(q):
+                    m = q % BANK_S
+                    return jnp.where(
+                        m == 0, banks[0],
+                        jnp.where(m == 1, banks[1],
+                                  jnp.where(m == 2, banks[2], banks[3])))
+
+                rows_l, valid_l = [], []
+                if wide:
+                    # entry = (leaf_base << 8) | hitmask: walk D pops
+                    # through masks and, when one empties, on to the next
+                    # ring entry. All elementwise -> one fused kernel.
+                    c_qh = qh
+                    cur = head_at(c_qh)
+                    cur_mask = cur & 0xFF
+                    for _ in range(D):
+                        has = (c_qh < qt) & (cur_mask != 0)
+                        low = cur_mask & -cur_mask
+                        j = jax.lax.population_count(low - 1)
+                        rows_l.append(jnp.where(
+                            has,
+                            jax.lax.shift_right_logical(cur, 8) + j, 0))
+                        valid_l.append(has)
+                        cur_mask = cur_mask & (cur_mask - 1)
+                        adv = has & (cur_mask == 0)
+                        c_qh = c_qh + adv
+                        nxt = head_at(c_qh)
+                        cur = jnp.where(adv, nxt, cur)
+                        cur_mask = jnp.where(adv, nxt & 0xFF, cur_mask)
+                    # write the partially-consumed head entry back
+                    more = c_qh < qt
+                    wb = (jax.lax.shift_left(
+                        jax.lax.shift_right_logical(cur, 8), 8) | cur_mask)
+                    hm2 = c_qh % BANK_S
+                    banks = [jnp.where(more & (hm2 == k), wb, bk)
+                             for k, bk in enumerate(banks)]
+                    qh = c_qh
+                else:
+                    cnt = qt - qh
+                    for i in range(D):
+                        rows_l.append(jnp.where(i < cnt,
+                                                head_at(qh + i), 0))
+                        valid_l.append(i < cnt)
+                    qh = qh + jnp.minimum(cnt, D)
+                row_mat = jnp.stack(rows_l, axis=1)          # (P, D)
+                vrow = jnp.stack(valid_l, axis=1)            # (P, D)
                 if with_counters:
-                    # packets whose dense work this drain is NOT wasted
-                    it_pend = it_pend + jnp.sum(pending, dtype=jnp.int32)
+                    # real row-drains this round (dense work not wasted)
+                    it_pend = it_pend + jnp.sum(vrow, dtype=jnp.int32)
 
-                hm = qh % BANK_S
-                head = jnp.where(
-                    hm == 0, banks[0],
-                    jnp.where(hm == 1, banks[1],
-                              jnp.where(hm == 2, banks[2], banks[3])))
+                dl = D * LN
+                tri = leaves[row_mat].reshape(pp, D, LEAF_F, LN)
 
-                row_id = jnp.where(pending, head, 0)
-                tri = leaves[row_id].reshape(pp, LEAF_F, LN)  # one gather
-
-                def tc(k):                                  # (P, LN, 1)
-                    return tri[:, k][:, :, None]
+                def tc(k):                                  # (P, D*LN, 1)
+                    return tri[:, :, k].reshape(pp, dl)[:, :, None]
 
                 v0x, v0y, v0z = tc(0), tc(1), tc(2)
                 e1x, e1y, e1z = tc(3), tc(4), tc(5)
                 e2x, e2y, e2z = tc(6), tc(7), tc(8)
-                matb = jax.lax.bitcast_convert_type(tri[:, 9], jnp.int32)
-                gidb = jax.lax.bitcast_convert_type(tri[:, 10], jnp.int32)
+                matb = jax.lax.bitcast_convert_type(
+                    tri[:, :, 9].reshape(pp, dl), jnp.int32)
+                gidb = jax.lax.bitcast_convert_type(
+                    tri[:, :, 10].reshape(pp, dl), jnp.int32)
+                pend3 = jnp.broadcast_to(
+                    vrow[:, :, None], (pp, D, LN)).reshape(pp, dl)[:, :, None]
 
                 rdx, rdy, rdz = (sdx[:, None, :], sdy[:, None, :],
                                  sdz[:, None, :])
@@ -334,7 +463,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 pvx = rdy * e2z - rdz * e2y
                 pvy = rdz * e2x - rdx * e2z
                 pvz = rdx * e2y - rdy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz     # (P, LN, R)
+                det = e1x * pvx + e1y * pvy + e1z * pvz     # (P, D*LN, R)
                 nondegen = jnp.abs(det) > geometry.TRI_EPS
                 invd = 1.0 / jnp.where(nondegen, det, 1.0)
                 # tvec = o - v0
@@ -349,14 +478,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 valid = (
                     nondegen & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                     & (t > T_MIN) & (t < t_best[:, None, :])
-                    & pending[:, None, None]
+                    & pend3
                 )
                 t = jnp.where(valid, t, INF)
                 tj = jnp.min(t, axis=1)                     # (P, R)
                 j = jnp.argmin(t, axis=1)
                 better = tj < t_best
 
-                # per-leaf-tri geometric normals (P, LN), winner-select
+                # per-leaf-tri geometric normals (P, D*LN), winner-select
                 # via one-hot
                 gnx = (e1y[:, :, 0] * e2z[:, :, 0]
                        - e1z[:, :, 0] * e2y[:, :, 0])
@@ -368,7 +497,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                                             1e-24))
                 gnx, gny, gnz = gnx / glen, gny / glen, gnz / glen
 
-                onehot = jnp.arange(LN)[None, :, None] == j[:, None, :]
+                onehot = jnp.arange(dl)[None, :, None] == j[:, None, :]
                 ohf = onehot.astype(jnp.float32)
                 w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
                 w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
@@ -385,16 +514,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 m_best = jnp.where(better, w_m, m_best)
                 g_best = jnp.where(better, w_g, g_best)
                 found = found | better
-
-                qh = qh + pending.astype(jnp.int32)  # pop the drained head
                 return (banks, qh, qt, t_best, nx, ny, nz,
                         m_best, g_best, found, it_pend)
 
-            for _ in range(n_drains):
-                (banks, qh, qt, t_best, nx, ny, nz, m_best, g_best,
-                 found, it_pend) = drain_once(
-                    banks, qh, qt, t_best, nx, ny, nz,
-                    m_best, g_best, found, it_pend)
+            (banks, qh, qt, t_best, nx, ny, nz, m_best, g_best,
+             found, it_pend) = drain_batch(
+                n_drains, banks, qh, qt, t_best, nx, ny, nz,
+                m_best, g_best, found, it_pend)
 
             return (node, end, banks[0], banks[1], banks[2], banks[3],
                     qh, qt, sox, soy, soz, sdx, sdy, sdz,
@@ -461,7 +587,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
          t_best, nx, ny, nz, m_best, g_best, found,
          it_outer, it_adv, it_pp, it_pend) = st
         cp = node.shape[0]
-        cut = scene.pk_cut                              # (MC_K, 2)
+        # closes over `cut` — the (MC_K, 2) row-span table of whichever
+        # layout (binary or wide) this traversal is running on
 
         def t8(a):
             return jnp.tile(a, (MC_K, 1))

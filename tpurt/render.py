@@ -355,7 +355,12 @@ def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
         hist = hist + h
 
     if stats_sink is not None:
-        stats_sink["queue_capacity"] = block * spp_chunk
+        # hist sums live counts across ALL chunks per bounce slot, so the
+        # denominator is the total rays issued per bounce slot across all
+        # chunks: block * n_samples (the ragged tail chunk contributes its
+        # own c — summed, exactly n_samples) — not one chunk's capacity
+        # (which saturated occupancy at 1.0 on any multi-chunk render).
+        stats_sink["queue_capacity"] = block * n_samples
         stats_sink.setdefault("live_history", []).extend(
             int(x) for x in np.asarray(hist))
     return film_flat, int(total_rays)

@@ -69,6 +69,14 @@ class Scene(NamedTuple):
     pk_nodes: Optional[np.ndarray]   # (M,16) f32
     pk_leaves: Optional[np.ndarray]  # (L, PACKET_LEAF_N*LEAF_F) f32
     pk_cut: Optional[np.ndarray]     # (8,2) i32 subtree cut (bvh.PacketBVH)
+    # optional wide-fanout (8-ary) packet layout (bvh.PacketBVH8) —
+    # built alongside the binary layout; the traversal uses it only when
+    # kernels.traverse.WIDE_ENABLE is set (measured SLOWER under the
+    # walk-gated round regime, benchmarks/probe_fanout.py — kept for the
+    # probe grid and the regimes where shorter walks pay)
+    pk8_nodes: Optional[np.ndarray]  # (Mw,64) f32
+    pk8_leaves: Optional[np.ndarray]  # (L, PACKET_LEAF_N*LEAF_F) f32
+    pk8_cut: Optional[np.ndarray]    # (8,2) i32 subtree cut
     # optional vn shading normals (A.5): one 32-f32 row per ORIGINAL
     # triangle [n0.xyz, n1.xyz, n2.xyz, v0.xyz, e1.xyz, e2.xyz, 14 pad] —
     # everything the winner-gid interpolation needs in ONE row gather
@@ -210,10 +218,13 @@ class SceneBuilder:
 
         blo = bhi = bskip = bfirst = bcount = None
         pk_nodes = pk_leaves = pk_cut = None
+        pk8_nodes = pk8_leaves = pk8_cut = None
         tri_src = None
         if use_bvh:
             pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
             pk_nodes, pk_leaves, pk_cut = pk.nodes, pk.leaves, pk.cut
+            pk8 = bvh_mod.build_packet8(tv0, tv1, tv2, tm)
+            pk8_nodes, pk8_leaves, pk8_cut = pk8.nodes, pk8.leaves, pk8.cut
             tree = bvh_mod.build(tv0, tv1, tv2, tm)
             # the BVH's leaf-padded soup replaces the raw soup so brute and
             # BVH paths intersect identical triangle tables
@@ -253,6 +264,7 @@ class SceneBuilder:
             bvh_lo=blo, bvh_hi=bhi, bvh_skip=bskip,
             bvh_first=bfirst, bvh_count=bcount,
             pk_nodes=pk_nodes, pk_leaves=pk_leaves, pk_cut=pk_cut,
+            pk8_nodes=pk8_nodes, pk8_leaves=pk8_leaves, pk8_cut=pk8_cut,
             tri_shn=tri_shn, tri_src=tri_src,
         )
 
@@ -303,12 +315,23 @@ def cornell(aspect: float) -> tuple[Scene, Camera]:
 
 
 def mesh_scene(aspect: float, vertices, faces, use_bvh: bool = True,
-               normals=None, face_vn=None) -> tuple[Scene, Camera]:
+               normals=None, face_vn=None,
+               body_mat: str = "lambertian") -> tuple[Scene, Camera]:
     """Config 3 family: a triangle mesh on a ground plane, metal + glass
-    companions, gradient sky. Camera auto-framed from the mesh bounds."""
+    companions, gradient sky. Camera auto-framed from the mesh bounds.
+
+    body_mat: "lambertian" (default, frozen by goldens) or "dielectric" —
+    the glass-bodied variant is the occupancy-decay stress workload for
+    the mega-vs-wavefront comparison (BASELINE config 4's raison d'être:
+    dielectrics never absorb, so paths run deep and Russian roulette
+    kills lanes stochastically — the regime where queue shrinkage should
+    beat dead-lane masking)."""
     b = SceneBuilder(sky=True)
     ground = b.lambertian((0.45, 0.45, 0.45))
-    body = b.lambertian((0.75, 0.55, 0.35))
+    if body_mat == "dielectric":
+        body = b.dielectric(1.5)
+    else:
+        body = b.lambertian((0.75, 0.55, 0.35))
     mirror = b.metal((0.85, 0.85, 0.9), fuzz=0.02)
     glass = b.dielectric(1.5)
 

@@ -73,7 +73,7 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
     m_best = jnp.where(closer, mp, m_best)
 
     gid = None
-    if scene.pk_nodes is not None:
+    if scene.pk_nodes is not None or scene.pk8_nodes is not None:
         tt, nt, mt, ht, gid = packet_nearest_tri(scene, o, d, t_best)
     elif scene.has_bvh:
         tt, tri = bvh_nearest_tri(scene, o, d, t_best)
@@ -87,7 +87,11 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
             gid = jnp.where(ht, scene.tri_src[tri_c], -1)
     elif (intersect_k.ENABLE
           and scene.tri_v0.shape[0] <= intersect_k.MAX_TRIS
+          and scene.tri_shn is None
           and jax.default_backend() == "tpu"):
+        # tri_shn guard: nearest_tri_small returns no winner gid, so a
+        # vn-carrying scene would silently flat-shade here while the
+        # oracle interpolates — route those through the brute path below.
         # small scene, no BVH: the Mosaic VMEM-resident brute kernel
         # (measured 1.6x over the fused jnp broadcast on v5e). Opt-in:
         # its different float-op ordering perturbs bounce paths enough to

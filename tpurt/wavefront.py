@@ -145,38 +145,11 @@ def commit_rows(film, rad, pix):
     return film + jax.ops.segment_sum(rad, pix, num_segments=film.shape[0])
 
 
-@partial(jax.jit, static_argnames=("b",))
-def commit_tail(film, queue: Queue, b: int):
-    """Commit rows [b:] (about to be dropped by shrink) — the tail slice
-    happens inside the jit so no eager dynamic_slice programs compile
-    (see shrink's docstring)."""
-    return film + jax.ops.segment_sum(
-        queue.rad[b:], queue.pix[b:], num_segments=film.shape[0]
-    )
-
-
 def _bucket(n: int) -> int:
     b = MIN_BUCKET
     while b < n:
         b <<= 1
     return b
-
-
-@partial(jax.jit, static_argnames=("b",))
-def shrink(queue: Queue, b: int) -> Queue:
-    """Slice the queue down to its first b rows — as ONE jitted program.
-
-    Shrinking with eager `queue.o[:b]`-style slicing compiles a separate
-    tiny dynamic_slice program per array per (capacity, b) pair, and the
-    remote-compile tunnel charges ~0.4 s per compile — measured 20+ s of
-    mid-render compiles on c4. One jit per (capacity, b) pair amortizes
-    across all chunks and samples.
-    """
-    return Queue(
-        o=queue.o[:b], d=queue.d[:b], atten=queue.atten[:b],
-        rad=queue.rad[:b], pix=queue.pix[:b], key=queue.key[:, :b],
-        alive=queue.alive[:b],
-    )
 
 
 BOUNCES_PER_DISPATCH = 4
@@ -185,7 +158,11 @@ BOUNCES_PER_DISPATCH = 4
 @partial(jax.jit, static_argnames=("rr_start", "n_steps"))
 def multi_step(scene: Scene, queue: Queue, bounce0, rr_start,
                n_steps: int = BOUNCES_PER_DISPATCH):
-    """n_steps bounce passes in ONE device dispatch. The host round-trip
+    """TEST ORACLE — superseded in production by trace_chunk_staged (which
+    stages the whole bounce loop on-device); kept as the host-level
+    differential oracle for tests/test_compaction.py.
+
+    n_steps bounce passes in ONE device dispatch. The host round-trip
     per dispatch (live-count fetch through this image's relay) was a large
     fraction of wavefront wall time at one dispatch per bounce; shrink
     decisions now happen every n_steps bounces instead. Dead lanes carry
@@ -203,7 +180,13 @@ def multi_step(scene: Scene, queue: Queue, bounce0, rr_start,
 def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
                 rr_start, live_history: list | None = None
                 ) -> tuple[jnp.ndarray, int]:
-    """Host-level bounce loop over one ray chunk. film: (npix,3) device
+    """TEST ORACLE — the host-level shrinking-bucket wavefront loop,
+    superseded in production by trace_chunk_staged (one on-device
+    dispatch). Kept because tests/test_compaction.py uses it as the
+    differential oracle for the staged path (same RNG, same per-ray math,
+    independently-structured control flow).
+
+    Host-level bounce loop over one ray chunk. film: (npix,3) device
     array. Returns (film', rays_cast). live_history (optional list) gets
     the live-ray count appended per dispatch — the wavefront occupancy
     metric (SURVEY.md §5)."""
