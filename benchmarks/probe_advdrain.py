@@ -19,9 +19,30 @@ VPU f32 peak). Consequences tested here:
   3. Full-width drains stay at D<=2: their volume is the VPU-bound
      dense floor.
 
-MEASURED (TPU v5e via axon relay, 2026-08-17): [JSON below]
+MEASURED (TPU v5e via axon relay, 2026-08-17):
 
-VERDICT: recorded after the run.
+    binary:                          ms   rounds  adv_steps  sum_pp
+      adv8  D4-2-1 [baseline]      10.49   124      992      32208
+      adv12 D4-2-1                 11.32   106     1272      28272
+      adv12 D8-4-1                 12.81   101     1212      26304
+      adv16 D8-4-1                 13.76    90     1440      25312
+      adv16 D8-4-2                 12.06    76     1216      16592
+      adv24 D8-4-2                 15.65    68     1632      15168
+    wide:
+      adv4  D8-4-2                 14.13    86      344      23520
+      adv6  D8-4-2                 13.30    66      396      18768
+      adv8  D8-8-2                 14.03    54      432      15280
+
+VERDICT: REFUTED — the entire grid loses to the baseline. Rounds DO
+fall as walk/ADV predicts (124 -> 54) and sum_pp halves, yet wall only
+rises: the counters show total phase-A op volume is INVARIANT
+(sum_pp x ADV ~ 258k packet-steps at adv8 and 265k at adv16 — longer
+rounds run more masked steps on not-yet-compacted widths) while bigger
+D adds dense volume. Conclusion of the round-3 scheduling campaign
+(fanout, drainbatch, advdrain): every schedule knob sits at the
+measured joint optimum; the traversal cost is a volume integral that
+scheduling only redistributes. Real gains must change the WORK or the
+RATE: dense phase on the MXU (probe_mxudense.py) or tighter culling.
 """
 
 from __future__ import annotations

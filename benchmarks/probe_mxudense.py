@@ -26,9 +26,27 @@ This probe measures, at traversal-realistic shapes:
                  (LN*64 f32) vs the current LN*12
   * refine:      per-ray winner recompute (P, R) exact MT
 
-MEASURED (TPU v5e via axon relay, 2026-08-17):  [see JSON below]
+MEASURED (TPU v5e via axon relay, 2026-08-17):
 
-VERDICT: recorded after the run.
+    vpu_dense  (P=1024, DL=128, R=128)   331 us   (= 53 Gpairs/s: the
+                                                   probe-dense unit rate,
+                                                   i.e. VPU f32 peak)
+    mxu_f32_highest                     1568 us
+    mxu_default                         1239 us
+    mxu_bf16                            1036 us
+    gather fat/cur rows, refine pass:   at the timer noise floor (<4 us)
+
+VERDICT: REFUTED, 3-5x the wrong way. Two structural reasons: (1) the
+contraction dim K=16 uses 16/128 of the systolic array — batched skinny
+matmuls cannot feed the MXU; (2) the einsum's (P, DL, C, R) channel
+output materializes 8x the t-array to HBM (~537 MB) before the
+elementwise epilogue, so the path is HBM-write-bound regardless of MXU
+rate. The VPU dense phase — whose intermediates all fuse to registers —
+is already AT ITS ROOFLINE (53 Gpairs/s = ~3.2 Tflop/s f32). Dense MT
+cannot be made faster per pair on this hardware; remaining levers are
+fewer pairs (culling) or eliminating the per-op dispatch links around
+the loop (probe_vmemloop.py: the VMEM-resident Pallas megakernel,
+viable now that the whole BVH fits in VMEM).
 """
 
 from __future__ import annotations
