@@ -8,9 +8,16 @@ no HBM traffic inside the loop: each grid step pins a tile of rays in VMEM
 and unrolls Möller–Trumbore over the (compile-time) triangle count on the
 VPU, carrying the running (t, normal, mat) winner in registers.
 
-Triangle rows follow the PacketBVH leaf layout: [v0.xyz, e1.xyz, e2.xyz,
-mat_bits]; degenerate (zero-edge) padding rows are rejected by the
-determinant epsilon like everywhere else (A.5).
+Triangle rows follow the PacketBVH leaf layout for geometry [v0.xyz,
+e1.xyz, e2.xyz] with the material id in slot 9 as an f32 VALUE — NOT an
+int32 bit-pattern like the XLA-side leaf rows: small-int bit patterns
+are denormal floats, and the TPU VPU flushes denormals to zero inside
+the kernel's jnp.where winner selects, silently zeroing every material
+(found round 3: c2 with this kernel rendered the Cornell box all-white
+at RMSE 2.4 while t/normals matched exactly; interpret mode does not
+flush, so CPU tests saw nothing). Values 0..16M are exact in f32, so
+value-carry is lossless. Degenerate (zero-edge) padding rows are
+rejected by the determinant epsilon like everywhere else (A.5).
 
 Falls back to interpret mode off-TPU so the same code path is exercised by
 the CPU test suite.
@@ -31,7 +38,13 @@ from ..geometry import T_MIN, TRI_EPS
 TILE = 1024          # rays per grid step (8 x 128 f32 tiles)
 MAX_TRIS = 64        # VMEM-resident unrolled loop bound
 # Opt-in (see trace.intersect): 1.6x faster than the fused jnp broadcast on
-# v5e, but its float-op reordering forfeits byte-identical oracle parity.
+# v5e at the KERNEL level, but the round-3 end-to-end decision run
+# (benchmarks/probe_c2kernel.py) measured c2-cornell at 35.23 ON vs
+# 35.06 OFF Mrays/s — a tie inside relay noise, because small-scene
+# intersection is not c2's bottleneck. RMSE vs oracle with the kernel ON
+# is 0.0 (after the denormal material fix below), but float-op
+# reordering still forfeits byte-identical goldens on other configs, so
+# with zero measured upside ENABLE stays False.
 ENABLE = False
 
 
@@ -41,7 +54,7 @@ def _kernel(ox, oy, oz, dx, dy, dz, tmax, tri, t_o, nx_o, ny_o, nz_o, m_o):
     nx = jnp.zeros_like(t_best)
     ny = jnp.zeros_like(t_best)
     nz = jnp.zeros_like(t_best)
-    mat = jnp.zeros_like(t_best)  # f32 bit-pattern, cast outside
+    mat = jnp.zeros_like(t_best)  # f32 VALUE (denormal-safe), cast outside
 
     rdx, rdy, rdz = dx[:], dy[:], dz[:]
     rox, roy, roz = ox[:], oy[:], oz[:]
@@ -128,7 +141,7 @@ def nearest_tri_small(o, d, tri_rows, t_max, interpret: bool = False):
 
     t = t[:n]
     normal = jnp.stack([nx[:n], ny[:n], nz[:n]], axis=-1)
-    mat = jax.lax.bitcast_convert_type(matf[:n], jnp.int32)
+    mat = matf[:n].astype(jnp.int32)
     found = t < jnp.asarray(t_max[:n], jnp.float32)
     return t, normal, mat, found
 
@@ -139,5 +152,5 @@ def tri_rows_from_scene(scene) -> np.ndarray:
     t[:, 0:3] = np.asarray(scene.tri_v0)
     t[:, 3:6] = np.asarray(scene.tri_e1)
     t[:, 6:9] = np.asarray(scene.tri_e2)
-    t[:, 9] = np.asarray(scene.tri_mat, np.int32).view(np.float32)
+    t[:, 9] = np.asarray(scene.tri_mat, np.float32)  # value, not bits
     return t

@@ -100,9 +100,10 @@ def intersect(scene: Scene, o, d, t_cap=None) -> Hit:
         rows = jnp.concatenate(
             [
                 scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                jax.lax.bitcast_convert_type(
-                    scene.tri_mat.astype(jnp.int32), jnp.float32
-                )[:, None],
+                # material id as f32 VALUE — int bit-patterns are
+                # denormals and the TPU VPU flushes them to zero inside
+                # the kernel (see kernels/intersect.py module docstring)
+                scene.tri_mat.astype(jnp.float32)[:, None],
             ],
             axis=1,
         )
