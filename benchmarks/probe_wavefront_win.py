@@ -21,9 +21,32 @@ from the wavefront's own occupancy metric.
 
 Appends history-style records; numbers + verdict recorded below.
 
-MEASURED (TPU v5e via axon relay, 2026-08-17): [JSON below]
+MEASURED (TPU v5e via axon relay, 2026-08-17):
 
-VERDICT: recorded after the run.
+    c4_mega            7.157 Mrays/s   wall 1.337 s
+    c4_wavefront       5.696 Mrays/s   wall 1.680 s   live_frac 0.081
+    deepglass_mega     2.969 Mrays/s   wall 3.171 s
+    deepglass_wavefront 2.682 Mrays/s  wall 3.510 s   live_frac 0.043
+
+(live_frac = mean live fraction over bounce slots that saw work; the
+run printed 1.29/0.34 under the occupancy denominator that forgot the
+pixel-block axis — fixed in render.py the same day; the values above
+divide by the n_blocks of each config, 16 and 8, which is exact.)
+
+VERDICT: the question is CLOSED — the staged megakernel dominates on
+this hardware, including on the workload built to favor shrinkage.
+Deep-glass (max_depth 32, rr_start 2, dielectric body) drives mean
+occupancy down to 4.3% — the exact regime where per-bounce queue
+compaction should shine — and wavefront still loses by 11% (2.68 vs
+2.97); on c4 proper it loses by 26%. The reason is that the megakernel
+is not a dead-lane masker: trace.py's staged bounce compaction already
+shrinks its arrays geometrically as paths die, capturing the shrinkage
+benefit, while the wavefront pays queue bookkeeping (pack/unpack,
+film-scatter indirection) per bounce on top. Wavefront mode remains the
+BASELINE config-4 surface (queue semantics, occupancy metrics,
+per-bounce compaction are all real and tested) but is not the
+throughput path; c4's bench mode stays as specified and the conclusion
+is recorded in BASELINE.md.
 """
 
 from __future__ import annotations
