@@ -42,14 +42,17 @@ C5 = dict(width=3840, height=2160, scene="blob", mode="mega",
           max_depth=16, rr_start=3, shard="tiles")
 
 
-def cli_args(spp: int, resume: bool) -> list[str]:
+def cli_args(spp: int, resume: bool, every: int = 8) -> list[str]:
     a = [sys.executable, "-m", "tpurt.cli", "render",
          "--width", str(C5["width"]), "--height", str(C5["height"]),
          "--spp", str(spp), "--scene", C5["scene"], "--mode", C5["mode"],
          "--max-depth", str(C5["max_depth"]),
          "--rr-start", str(C5["rr_start"]), "--shard", C5["shard"],
-         "--seed", "0", "--checkpoint", CKPT, "--checkpoint-every", "8",
+         "--seed", "0", "--checkpoint", CKPT,
+         "--checkpoint-every", str(every),
          "--out", OUT]
+    if "mesh_subdiv" in C5:
+        a += ["--mesh-subdiv", str(C5["mesh_subdiv"])]
     if resume:
         a.append("--resume")
     return a
@@ -72,7 +75,17 @@ def main() -> int:
     ap.add_argument("--kill-after", type=int, default=16,
                     help="SIGKILL once a checkpoint with this many spp "
                          "is on disk")
+    ap.add_argument("--every", type=int, default=8,
+                    help="--checkpoint-every passed to the CLI")
+    # Sub-scale overrides for smoke-testing the kill/resume orchestration
+    # (e.g. on forced CPU); the contract run uses the 4K defaults.
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--mesh-subdiv", type=int, default=None)
     args = ap.parse_args()
+    for k in ("width", "height", "mesh_subdiv"):
+        if getattr(args, k) is not None:
+            C5[k] = getattr(args, k)
     events = []
 
     for f in (CKPT, OUT):
@@ -80,7 +93,7 @@ def main() -> int:
             os.remove(f)
 
     t0 = time.time()
-    p = subprocess.Popen(cli_args(args.spp, resume=False),
+    p = subprocess.Popen(cli_args(args.spp, resume=False, every=args.every),
                          cwd=ROOT, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
     events.append({"event": "launch", "ts": round(time.time() - t0, 1)})
@@ -100,7 +113,7 @@ def main() -> int:
               "larger --spp or smaller --kill-after", file=sys.stderr)
         return 1
 
-    p2 = subprocess.run(cli_args(args.spp, resume=True),
+    p2 = subprocess.run(cli_args(args.spp, resume=True, every=args.every),
                         cwd=ROOT, capture_output=True, text=True)
     events.append({"event": "resume_launch",
                    "ts": round(time.time() - t0, 1)})
@@ -127,15 +140,18 @@ def main() -> int:
     rmse = rmse_vs_oracle(dict(C5, spp=2))
     events.append({"event": "rmse_probe", "rmse_vs_oracle": rmse})
 
-    rec = {"name": "c5-demo", "ts": round(time.time(), 1),
+    sub_scale = C5["width"] != 3840
+    rec = {"name": "c5-demo-smoke" if sub_scale else "c5-demo",
+           "ts": round(time.time(), 1),
            "backend": "tpu", "spp": args.spp,
            "resumed_from_spp": stats["resumed_from_spp"],
            "mrays_per_s_after_resume": stats["mrays_per_s"],
            "wall_s_after_resume": round(stats["wall_s"], 1),
            "rmse_vs_oracle": round(rmse, 6), "events": events,
            "config": dict(C5, spp=args.spp)}
-    with open(ROOT / "benchmarks/results/history.jsonl", "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    if not sub_scale:  # smoke runs don't pollute history
+        with open(ROOT / "benchmarks/results/history.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
     return 0
 

@@ -33,7 +33,7 @@ from tpurt.bvh import PACKET_LEAF_N as LN
 from tpurt.geometry import INF
 from tpurt.kernels import traverse
 
-N = 131072
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
 ADV = traverse.ADV_STEPS
 
 # measured unit rates (microbench/probe_dense, TPU v5e, round 2)

@@ -112,3 +112,21 @@ def test_wavefront_ragged_block_matches_mega():
     fm, sm = render_mod.render(cfgm, scene, cam)
     assert sw["rays"] == sm["rays"]
     assert float(film.rmse(fw, fm)) < 1e-6
+
+
+def test_stage_caps_matches_round2_ladder():
+    """stage_caps() must generate exactly the round-2 relative ladders it
+    replaced (re-auditioned and kept, benchmarks/probe_stagecaps.py):
+    traversal p//2..p//64 floored at 8, bounce n//2..n//16 floored at 4."""
+    from tpurt.kernels.traverse import stage_caps
+
+    for p in (8, 16, 64, 1024, 4096, 6144):
+        expect = [c for c in (p // 2, p // 4, p // 8, p // 16, p // 32,
+                              p // 64) if c >= 8]
+        assert stage_caps(p) == expect, p
+    for n_pk in (4, 8, 48, 1024):
+        expect = [c for c in (n_pk // 2, n_pk // 4, n_pk // 8, n_pk // 16)
+                  if c >= 4]
+        assert stage_caps(n_pk, floor=4, max_stages=4) == expect, n_pk
+    assert stage_caps(4) == []           # below the traversal floor
+    assert stage_caps(6144)[-1] >= 8     # ladder never under-floors

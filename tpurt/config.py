@@ -26,11 +26,14 @@ class RenderConfig:
     mode: str = "mega"                 # primary | mega | wavefront | persist
     rr_start: Optional[int] = None     # Russian roulette from this bounce (A.8)
     spp_chunk: int = 0                 # 0 = auto (by ray-batch budget)
-    # Max rays per device batch. 128k measured best on TPU v5e; since the
-    # staged tail compaction landed, 256k-1M are within ~10% (the original
-    # 9x degradation at 1M rays came from straggler packets gating every
-    # full-size loop iteration, which staging fixed).
-    ray_batch: int = 1 << 17
+    # Max rays per device batch. Round 3 re-measured the scaling under
+    # the final staged design (benchmarks/probe_batchscale.py): the
+    # traversal round's serial-link term (~5-6 ms/batch) is per-ROUND,
+    # nearly independent of packet count, so bigger batches amortize it
+    # — bounce-1 ns/ray falls 79.3 (128k) -> 46.9 (512k), then ticks
+    # back up at 1M (52.0: the compaction tail's sum_pp jumps 2.6x).
+    # 512k is the measured sweet spot on v5e.
+    ray_batch: int = 1 << 19
     shard: str = "none"                # none | tiles | spp (SURVEY.md §2 table)
     mesh_subdiv: int = 6               # blob resolution (81920 tris at 6)
     # A.5 optional vn path: interpolate OBJ-provided vertex normals at hits

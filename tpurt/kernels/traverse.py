@@ -132,6 +132,35 @@ DRAIN2_MAX = 256
 DRAIN_N = (4, 2, 1)
 
 
+# Stage-ladder generator for the tail compactions (run_stages here and
+# the bounce stages in trace.py). The relative ladder shape (p//2 ..
+# p//2^max_stages) was re-auditioned for the round-3 batch bump
+# (probe_stagecaps.py): extending the ladder to an absolute 8-packet
+# floor ties 512k (345.6 vs 349.2 ns/primary) but LOSES 13% at 128k
+# (462.7 vs 408.3 — each extra stage is a real cost: one more
+# while_loop, compaction gather, and cond chain), and a ratio-4 ladder
+# loses at both widths (up-to-4x oversize dwell between compactions).
+# The round-2 relative shape stands; it is just generated here now.
+STAGE_RATIO = 2
+STAGE_FLOOR = 8
+STAGE_MAX = 6            # deepest traversal stage: p // 2^6
+
+
+def stage_caps(p: int, ratio: int = None, floor: int = None,
+               max_stages: int = None) -> list:
+    """Capacities p//r, p//r^2, ... (at most max_stages, none below
+    floor)."""
+    ratio = STAGE_RATIO if ratio is None else ratio
+    floor = STAGE_FLOOR if floor is None else floor
+    max_stages = STAGE_MAX if max_stages is None else max_stages
+    caps = []
+    c = p // ratio
+    while c >= floor and len(caps) < max_stages:
+        caps.append(c)
+        c //= ratio
+    return caps
+
+
 def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     """Packet traversal over the child-in-parent layout (bvh.PacketBVH).
 
@@ -604,9 +633,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                t8(six), t8(siy), t8(siz),
                t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(g_best),
                t8(found), it_outer, it_adv, it_pp, it_pend)
-        caps_v = [c for c in (vp // 2, vp // 4, vp // 8, vp // 16,
-                              vp // 32, vp // 64) if c >= 8]
-        stv = run_stages(stv, caps_v)
+        stv = run_stages(stv, stage_caps(vp))
 
         # exact merge: per ray, the cursor with the nearest hit wins
         def blk(a):
@@ -650,12 +677,10 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         jnp.int32(0),
         jnp.int32(0),
     )
-    caps = [c for c in (p // 2, p // 4, p // 8, p // 16, p // 32,
-                        p // 64) if c >= 8]
     if use_mc and p <= MC_PACKETS:
         final = mc_wide(init)
     else:
-        final = run_stages(init, caps)
+        final = run_stages(init, stage_caps(p))
     t_best, nx, ny, nz, m_best, g_best, found = final[17:24]
     n_best = jnp.stack(
         [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1

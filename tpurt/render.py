@@ -356,11 +356,14 @@ def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
 
     if stats_sink is not None:
         # hist sums live counts across ALL chunks per bounce slot, so the
-        # denominator is the total rays issued per bounce slot across all
-        # chunks: block * n_samples (the ragged tail chunk contributes its
-        # own c — summed, exactly n_samples) — not one chunk's capacity
-        # (which saturated occupancy at 1.0 on any multi-chunk render).
-        stats_sink["queue_capacity"] = block * n_samples
+        # denominator is the total queue slots issued per bounce slot
+        # across all chunks: block * n_blocks * n_samples (the ragged
+        # tail chunk contributes its own c — summed over the two
+        # dispatch groups, exactly n_samples) — not one chunk's capacity
+        # (which saturated occupancy at 1.0 on any multi-chunk render;
+        # and round 3 measured the first fix still >1 at n_blocks=16 —
+        # it forgot the pixel-block axis, probe_wavefront_win).
+        stats_sink["queue_capacity"] = block * n_blocks * n_samples
         stats_sink.setdefault("live_history", []).extend(
             int(x) for x in np.asarray(hist))
     return film_flat, int(total_rays)
