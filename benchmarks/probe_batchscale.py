@@ -47,6 +47,16 @@ round-3 history.jsonl sweep. The ceiling-model reading (BASELINE.md):
 the ~5-6 ms link term is real but is a PER-BATCH constant, not a
 per-ray tax — the model's "implied ceiling" paragraph now carries the
 batch-size clause.
+
+SCOPE (measured after adoption, same day): the win is specific to the
+BVH traversal's link term. Brute-force scenes (c2-cornell) measured 29%
+SLOWER at 512k (35.2 -> 25.0 Mrays/s median-of-5, reproduced twice) —
+no rounds, no links, pure volume — so render.py caps no-BVH bounce
+paths at BRUTE_RAY_BATCH = 128k. The sharded per-chip sub-block
+(mesh.SUB_BLOCK) stays 128k as well: on c5 (4K, depth 16, rr 3) a 512k
+sub-block measured a wash-to-25%-loss (3.97/3.83/2.98 vs 3.89-3.97
+Mrays/s across reps) — at contract depth the round-floor-bound deep
+tail dominates and fresh-bounce amortization buys nothing.
 """
 
 from __future__ import annotations

@@ -27,7 +27,7 @@ from tpurt import bvh, camera as camera_mod
 from tpurt import config, materials, render, rng, trace
 from tpurt.kernels import traverse
 
-N = 131072
+N = int(_sys.argv[1]) if len(_sys.argv) > 1 else 131072
 
 
 def main() -> None:

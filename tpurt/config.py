@@ -32,7 +32,9 @@ class RenderConfig:
     # nearly independent of packet count, so bigger batches amortize it
     # — bounce-1 ns/ray falls 79.3 (128k) -> 46.9 (512k), then ticks
     # back up at 1M (52.0: the compaction tail's sum_pp jumps 2.6x).
-    # 512k is the measured sweet spot on v5e.
+    # 512k is the measured sweet spot on v5e FOR BVH TRAVERSAL; scenes
+    # with no BVH have no link term to amortize and measured 29% slower
+    # at 512k, so render.py caps their bounce paths at BRUTE_RAY_BATCH.
     ray_batch: int = 1 << 19
     shard: str = "none"                # none | tiles | spp (SURVEY.md §2 table)
     mesh_subdiv: int = 6               # blob resolution (81920 tris at 6)

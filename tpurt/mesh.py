@@ -57,7 +57,12 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
-SUB_BLOCK = 1 << 17  # per-chip pixel sub-block (the tuned batch size)
+# Per-chip pixel sub-block. Deliberately NOT bumped with ray_batch's
+# round-3 move to 512k: on c5 (4K, depth 16, rr 3) a 512k sub-block
+# measured wash-to-25%-slower (probe_batchscale.py SCOPE note) — at
+# contract depth the round-floor-bound deep-bounce tail dominates, and
+# batch width only compresses fresh bounces.
+SUB_BLOCK = 1 << 17
 
 
 def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,

@@ -24,6 +24,11 @@ from . import rng, trace, wavefront
 from .config import RenderConfig, build_scene
 from .scene import Scene
 
+# Batch cap for brute-force (no-BVH) bounce paths — see the comment in
+# render_samples: without traversal rounds there is no per-batch link
+# cost to amortize, and 512k batches measured 29% slower on c2-cornell.
+BRUTE_RAY_BATCH = 1 << 17
+
 _TILE_W, _TILE_H = 16, 8  # one 128-ray traversal packet = one 16x8 tile
 
 
@@ -203,9 +208,20 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     if film_flat is None:
         film_flat = jnp.zeros((npix, 3), jnp.float32)
 
-    pixel_block = min(npix, cfg.ray_batch)
+    # The ray_batch default (512k) is tuned for BVH traversal, whose
+    # per-round serial-link cost is per-BATCH (probe_batchscale.py).
+    # Brute-force bounce paths (no BVH) have no round links to amortize
+    # and larger batches only add volume: c2-cornell measured 29% SLOWER
+    # at 512k than 128k (35.2 vs 25.0 Mrays/s median-of-5, reproduced
+    # twice, 2026-08-17). Primary mode keeps the full batch either way —
+    # one pass, no bounce loop, bigger batch = fewer chunk iterations
+    # (c1 measured 72 Mrays/s at 512k).
+    ray_batch = cfg.ray_batch
+    if scene.pk_nodes is None and cfg.mode != "primary":
+        ray_batch = min(ray_batch, BRUTE_RAY_BATCH)
+    pixel_block = min(npix, ray_batch)
     pixel_block += (-pixel_block) % trace.PACKET_R
-    spp_chunk = cfg.spp_chunk or max(1, cfg.ray_batch // pixel_block)
+    spp_chunk = cfg.spp_chunk or max(1, ray_batch // pixel_block)
     spp_chunk = min(spp_chunk, max(1, sample_stop - sample_start))
     order = _tile_order_cached(cfg.width, cfg.height)
 
@@ -251,7 +267,7 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
             # pixel block through one fixed-capacity device dispatch
             n_smp = sample_stop - sample_start
             total = (p1 - p0) * n_smp
-            capacity = min(cfg.ray_batch, total)
+            capacity = min(ray_batch, total)
             capacity += (-capacity) % trace.PACKET_R
             film_flat, nrays, occ, iters = wavefront.trace_persistent(
                 scene, cam, film_flat, pixel_ids,
