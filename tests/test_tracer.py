@@ -111,3 +111,31 @@ def test_nan_free(cornell_scene):
     cfg = CFG.replace(scene="cornell", spp=8, max_depth=12)
     f_dev, _ = render.render(cfg, scene, cam)
     assert np.isfinite(f_dev).all()
+
+
+def test_effective_ray_batch_scopes_the_512k_default():
+    """The 512k batch is a BVH-traversal optimization (per-batch link
+    amortization); brute-force bounce paths cap at BRUTE_RAY_BATCH and
+    primary mode keeps the full batch (both measured —
+    benchmarks/probe_batchscale.py SCOPE note)."""
+    from tpurt import config, render
+
+    cfg_brute = config.RenderConfig(width=8, height=8, spp=1,
+                                    scene="cornell", mode="mega")
+    scene_brute, _ = config.build_scene(cfg_brute)
+    assert scene_brute.pk_nodes is None
+    assert (render.effective_ray_batch(cfg_brute, scene_brute)
+            == render.BRUTE_RAY_BATCH)
+    # primary mode on the same no-BVH scene keeps the configured batch
+    cfg_prim = cfg_brute.replace(mode="primary")
+    assert (render.effective_ray_batch(cfg_prim, scene_brute)
+            == cfg_prim.ray_batch)
+    # BVH scenes keep the configured batch in every mode
+    cfg_bvh = config.RenderConfig(width=8, height=8, spp=1, scene="blob",
+                                  mesh_subdiv=2, mode="mega")
+    scene_bvh, _ = config.build_scene(cfg_bvh)
+    assert scene_bvh.pk_nodes is not None
+    assert render.effective_ray_batch(cfg_bvh, scene_bvh) == cfg_bvh.ray_batch
+    # an explicitly SMALLER ray_batch is never raised by the cap
+    cfg_small = cfg_brute.replace(ray_batch=1 << 12)
+    assert render.effective_ray_batch(cfg_small, scene_brute) == 1 << 12

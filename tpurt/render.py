@@ -24,10 +24,29 @@ from . import rng, trace, wavefront
 from .config import RenderConfig, build_scene
 from .scene import Scene
 
-# Batch cap for brute-force (no-BVH) bounce paths — see the comment in
-# render_samples: without traversal rounds there is no per-batch link
-# cost to amortize, and 512k batches measured 29% slower on c2-cornell.
+# Batch cap for brute-force (no-BVH) bounce paths — see
+# effective_ray_batch: without traversal rounds there is no per-batch
+# link cost to amortize, and 512k batches measured 29% slower on
+# c2-cornell.
 BRUTE_RAY_BATCH = 1 << 17
+
+
+def effective_ray_batch(cfg: RenderConfig, scene: Scene) -> int:
+    """Per-path ray-batch budget (perf-only; images are invariant to
+    chunk grouping by the counter-derived RNG contract).
+
+    The ray_batch default (512k) is tuned for BVH traversal, whose
+    per-round serial-link cost is per-BATCH (probe_batchscale.py).
+    Brute-force bounce paths (no BVH) have no round links to amortize
+    and larger batches only add volume: c2-cornell measured 29% SLOWER
+    at 512k than 128k (35.2 vs 25.0 Mrays/s median-of-5, reproduced
+    twice, 2026-08-17), so they cap at BRUTE_RAY_BATCH. Primary mode
+    keeps the full batch either way — one pass, no bounce loop, bigger
+    batch = fewer chunk iterations (c1 measured 72 Mrays/s at 512k vs
+    52 at 128k)."""
+    if scene.pk_nodes is None and cfg.mode != "primary":
+        return min(cfg.ray_batch, BRUTE_RAY_BATCH)
+    return cfg.ray_batch
 
 _TILE_W, _TILE_H = 16, 8  # one 128-ray traversal packet = one 16x8 tile
 
@@ -208,17 +227,7 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     if film_flat is None:
         film_flat = jnp.zeros((npix, 3), jnp.float32)
 
-    # The ray_batch default (512k) is tuned for BVH traversal, whose
-    # per-round serial-link cost is per-BATCH (probe_batchscale.py).
-    # Brute-force bounce paths (no BVH) have no round links to amortize
-    # and larger batches only add volume: c2-cornell measured 29% SLOWER
-    # at 512k than 128k (35.2 vs 25.0 Mrays/s median-of-5, reproduced
-    # twice, 2026-08-17). Primary mode keeps the full batch either way —
-    # one pass, no bounce loop, bigger batch = fewer chunk iterations
-    # (c1 measured 72 Mrays/s at 512k).
-    ray_batch = cfg.ray_batch
-    if scene.pk_nodes is None and cfg.mode != "primary":
-        ray_batch = min(ray_batch, BRUTE_RAY_BATCH)
+    ray_batch = effective_ray_batch(cfg, scene)
     pixel_block = min(npix, ray_batch)
     pixel_block += (-pixel_block) % trace.PACKET_R
     spp_chunk = cfg.spp_chunk or max(1, ray_batch // pixel_block)
