@@ -82,9 +82,11 @@ def test_staged_chunk_matches_host_loop():
     film_a = jnp.zeros((npix, 3), jnp.float32)
     film_a, rays_a = wavefront.trace_chunk(scene, film_a, q0, 8, None)
 
-    film_b = jnp.zeros((npix, 3), jnp.float32)
-    film_b, rays_b, hist = wavefront.trace_chunk_staged(
-        scene, film_b, q0, 8, None)
+    # staged now returns radiance in the INPUT queue order; the caller
+    # owns the film fold (render._wavefront_frame does a tile-order
+    # slice-add — here the generic per-pixel accumulation)
+    rad_b, rays_b, hist = wavefront.trace_chunk_staged(scene, q0, 8, None)
+    film_b = jnp.zeros((npix, 3), jnp.float32).at[q0.pix].add(rad_b)
     assert rays_a == int(rays_b)
     assert np.allclose(np.asarray(film_a), np.asarray(film_b), atol=1e-5)
     hist = np.asarray(hist)

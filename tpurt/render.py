@@ -95,7 +95,12 @@ def _order_pad_cached(width: int, height: int, block: int):
             [order, np.full(npix_pad - npix, order[-1], np.int32)]
         ))
         valid_pad = jnp.asarray(np.arange(npix_pad) < npix)
-        _order_pad_cache[k] = (order_pad, valid_pad)
+        # inverse permutation: tile-layout row holding pixel p is
+        # inv_order[p]. Precomputed so the frame epilogue is a GATHER —
+        # the former `zeros.at[order_pad[:npix]].set(...)` scatter costs
+        # ~58 ns/row on TPU (probe_scatter.py): ~53 ms per call at 4K.
+        inv_order = jnp.asarray(np.argsort(order).astype(np.int32))
+        _order_pad_cache[k] = (order_pad, valid_pad, inv_order)
     return _order_pad_cache[k]
 
 
@@ -125,8 +130,8 @@ def _trace_batch(scene: Scene, cam, pixel_ids, sample_ids, seed,
          static_argnames=("width", "height", "mode", "max_depth",
                           "rr_start", "block", "c", "n_blocks"),
          donate_argnames=("film_flat", "nrays_acc"))
-def _accum_frame(scene: Scene, cam, order_pad, valid_pad, film_flat,
-                 nrays_acc, s0, n_chunks, seed,
+def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
+                 film_flat, nrays_acc, s0, n_chunks, seed,
                  width: int, height: int, mode: str, max_depth: int,
                  rr_start, block: int, c: int, n_blocks: int):
     """Trace n_chunks sample-chunks x n_blocks pixel-blocks and fold them
@@ -192,9 +197,9 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, film_flat,
 
     film_tiled, nrays_acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                               (film_tiled, nrays_acc))
-    film_flat = jnp.zeros((npix, 3), jnp.float32).at[
-        order_pad[:npix]
-    ].set(film_tiled[:npix])
+    # permute-out via the precomputed INVERSE order: a row gather, not a
+    # scatter (same bytes, ~300x cheaper on TPU — probe_scatter.py)
+    film_flat = film_tiled[inv_order]
     return film_flat, nrays_acc
 
 
@@ -240,8 +245,8 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
         # permutes run on-device inside _accum_frame (see its docstring
         # for the measured dispatch-floor rationale); the padded order
         # arrays are uploaded once per geometry and cached.
-        order_pad, valid_pad = _order_pad_cached(cfg.width, cfg.height,
-                                                 pixel_block)
+        order_pad, valid_pad, inv_order = _order_pad_cached(
+            cfg.width, cfg.height, pixel_block)
         nrays_acc = jnp.int32(0)
         n_blocks = order_pad.shape[0] // pixel_block
         n_samples = sample_stop - sample_start
@@ -255,7 +260,8 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
             if n_chunks == 0 or c == 0:
                 continue
             film_flat, nrays_acc = _accum_frame(
-                scene, cam, order_pad, valid_pad, film_flat, nrays_acc,
+                scene, cam, order_pad, valid_pad, inv_order,
+                film_flat, nrays_acc,
                 jnp.int32(s0), jnp.int32(n_chunks), seed,
                 cfg.width, cfg.height, cfg.mode, cfg.max_depth,
                 cfg.rr_start, pixel_block, c, n_blocks,
@@ -307,8 +313,8 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
          static_argnames=("width", "height", "max_depth", "rr_start",
                           "block", "c", "n_blocks"),
          donate_argnames=("film_flat",))
-def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, film_flat,
-                     s0, n_chunks, seed,
+def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
+                     film_flat, s0, n_chunks, seed,
                      width: int, height: int, max_depth: int, rr_start,
                      block: int, c: int, n_blocks: int):
     """All wavefront chunks of a sample range as ONE device dispatch.
@@ -316,11 +322,17 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, film_flat,
     The (pixel-block x sample-chunk) loop runs on-device as a fori_loop
     around raygen + wavefront.trace_chunk_staged (same dispatch-floor
     rationale as _accum_frame; measured ~0.9 s of per-chunk dispatch
-    overhead on c4 otherwise). Returns (film, rays_cast, live-per-bounce
-    summed over chunks)."""
+    overhead on c4 otherwise). The film lives in TILE ORDER inside the
+    dispatch so each chunk's radiance folds in as a contiguous slice-add
+    (trace_chunk_staged returns original-queue-order radiance; its former
+    per-ray segment_sum commits cost ~21 ms each — probe_scatter.py);
+    the permute-out is an inverse-order gather. Returns (film, rays_cast,
+    live-per-bounce summed over chunks)."""
+    npix = width * height
+    film_tiled = jnp.where(valid_pad[:, None], film_flat[order_pad], 0.0)
 
     def chunk_body(ci, carry):
-        film, nrays, hist = carry
+        film_tiled, nrays, hist = carry
         p0 = (ci % n_blocks) * block
         sample_ids = s0 + (ci // n_blocks) * c + jnp.arange(c,
                                                            dtype=jnp.int32)
@@ -333,12 +345,18 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, film_flat,
         jit2 = rng.camera_draws(keys)
         o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
         q = wavefront.make_queue(o, d, pixf, keys, alive=validf)
-        film, cast, h = wavefront.trace_chunk_staged(
-            scene, film, q, max_depth, rr_start)
-        return film, nrays + cast, hist + h
+        rad, cast, h = wavefront.trace_chunk_staged(
+            scene, q, max_depth, rr_start)
+        rad = rad.reshape(c, block, 3).sum(axis=0)
+        old = jax.lax.dynamic_slice(film_tiled, (p0, 0), (block, 3))
+        film_tiled = jax.lax.dynamic_update_slice(
+            film_tiled, old + rad, (p0, 0))
+        return film_tiled, nrays + cast, hist + h
 
-    init = (film_flat, jnp.int32(0), jnp.zeros(max_depth, jnp.int32))
-    return jax.lax.fori_loop(0, n_blocks * n_chunks, chunk_body, init)
+    init = (film_tiled, jnp.int32(0), jnp.zeros(max_depth, jnp.int32))
+    film_tiled, nrays, hist = jax.lax.fori_loop(
+        0, n_blocks * n_chunks, chunk_body, init)
+    return film_tiled[inv_order], nrays, hist
 
 
 def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
@@ -357,7 +375,8 @@ def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
     """
     npix = cfg.width * cfg.height
     block = min(pixel_block, -(-npix // trace.PACKET_R) * trace.PACKET_R)
-    order_pad, valid_pad = _order_pad_cached(cfg.width, cfg.height, block)
+    order_pad, valid_pad, inv_order = _order_pad_cached(
+        cfg.width, cfg.height, block)
     n_blocks = order_pad.shape[0] // block
 
     n_samples = sample_stop - sample_start
@@ -371,7 +390,7 @@ def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
         if n_chunks == 0 or c == 0:
             continue
         film_flat, nrays, h = _wavefront_frame(
-            scene, cam, order_pad, valid_pad, film_flat,
+            scene, cam, order_pad, valid_pad, inv_order, film_flat,
             jnp.int32(s0), jnp.int32(n_chunks), seed,
             cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
             block, c, n_blocks,

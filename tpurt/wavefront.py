@@ -45,6 +45,12 @@ class Queue(NamedTuple):
     pix: jnp.ndarray     # (N,)  flat pixel id (film segment)
     key: jnp.ndarray     # (3,N) threefry stream state [pixel, sample, seed]
     alive: jnp.ndarray   # (N,) bool
+    slot: jnp.ndarray    # (N,) original queue row (compaction provenance;
+    #                      packet-aligned rays keep 128-row blocks intact,
+    #                      so slot[i]//PACKET_R is the packet's original
+    #                      index — lets trace_chunk_staged commit radiance
+    #                      as cheap packet-row writes instead of a per-ray
+    #                      segment_sum, probe_scatter.py)
 
 
 @partial(jax.jit, static_argnames=("rr_start",))
@@ -60,7 +66,7 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
 
     Returns (sorted queue, live_count, rays_cast).
     """
-    o, d, atten, rad, pix, key, alive = queue
+    o, d, atten, rad, pix, key, alive, slot = queue
     rays_cast = jnp.sum(alive, dtype=jnp.int32)
 
     h = trace.intersect(scene, o, d, t_cap=jnp.where(alive, INF, 0.0))
@@ -112,7 +118,7 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
 
         queue = Queue(
             o=rows(o), d=rows(d), atten=rows(atten), rad=rows(rad),
-            pix=rows(pix), alive=rows(next_alive),
+            pix=rows(pix), alive=rows(next_alive), slot=rows(slot),
             key=key.reshape(3, pk, -1)[:, order_pk].reshape(key.shape),
         )
         # rows [live_packets*PACKET_R:] are all dead — the shrink bound
@@ -124,6 +130,7 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
         queue = Queue(
             o=o[order], d=d[order], atten=atten[order], rad=rad[order],
             pix=pix[order], key=key[:, order], alive=next_alive[order],
+            slot=slot[order],
         )
         live_rows = live_rays
     return queue, (live_rows, live_rays), rays_cast
@@ -211,6 +218,7 @@ def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
                 o=queue.o[:b], d=queue.d[:b], atten=queue.atten[:b],
                 rad=queue.rad[:b], pix=queue.pix[:b],
                 key=queue.key[:, :b], alive=queue.alive[:b],
+                slot=queue.slot[:b],
             )
             n = b
     film = commit_remaining(film, queue)
@@ -218,7 +226,7 @@ def trace_chunk(scene: Scene, film, queue: Queue, max_depth: int,
 
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start"))
-def trace_chunk_staged(scene: Scene, film, queue: Queue, max_depth: int,
+def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
                        rr_start):
     """Whole-chunk wavefront bounce loop in ONE device dispatch, with
     STAGED on-device queue shrinking.
@@ -233,24 +241,40 @@ def trace_chunk_staged(scene: Scene, film, queue: Queue, max_depth: int,
     the front, a shrink is a static slice; the dropped rows are all dead,
     so their radiance commits at the shrink and they never come back.
 
-    Returns (film', rays_cast, live_hist (max_depth,) int32) — live_hist
-    is the per-bounce live-ray count, the wavefront occupancy metric
-    (SURVEY.md §5), recorded on-device.
+    Radiance commits into rad_out — a buffer in ORIGINAL queue order,
+    written one PACKET ROW (128x3 floats) at a time via the queue's slot
+    provenance. The former per-ray `segment_sum(rad, pix)` commits cost
+    ~21 ms per full-width call (~40 ns/row TPU scatter floor,
+    benchmarks/probe_scatter.py) — several times per chunk; packet-row
+    scatters cost ~0.01 ms. The caller folds rad_out into its
+    tile-ordered film with a contiguous slice-add (render._wavefront_frame),
+    exactly like the megakernel path.
+
+    Returns (rad_out (N,3) in the INPUT queue order, rays_cast,
+    live_hist (max_depth,) int32) — live_hist is the per-bounce live-ray
+    count, the wavefront occupancy metric (SURVEY.md §5), recorded
+    on-device.
     """
     n = queue.o.shape[0]
-    npix = film.shape[0]
     assert n % trace.PACKET_R == 0, "staged wavefront needs packet-aligned queues"
     pk0 = n // trace.PACKET_R
+    rw = trace.PACKET_R * 3
 
     def cond(c):
         bounce, q = c[0], c[1]
         return (bounce < max_depth) & jnp.any(q.alive)
 
     def body(c):
-        bounce, q, film, nrays, hist = c
+        bounce, q, rad_out, nrays, hist = c
         q, (live_rows, live_rays), cast = step(scene, q, bounce, rr_start)
         hist = hist.at[bounce].set(live_rays)
-        return bounce + 1, q, film, nrays + cast, hist
+        return bounce + 1, q, rad_out, nrays + cast, hist
+
+    def commit(rad_out, q, b):
+        """Write queue rows [b:] home as packet rows (slot blocks are
+        128-aligned: rays never leave their packet)."""
+        spk = q.slot[b::trace.PACKET_R] // trace.PACKET_R
+        return rad_out.at[spk].set(q.rad[b:].reshape(-1, rw))
 
     def run(c, caps):
         if not caps:
@@ -268,21 +292,21 @@ def trace_chunk_staged(scene: Scene, film, queue: Queue, max_depth: int,
             return cond(c) & (live_pk > cap)
 
         c = jax.lax.while_loop(cond2, body, c)
-        bounce, q, film, nrays, hist = c
+        bounce, q, rad_out, nrays, hist = c
         b = cap * trace.PACKET_R
-        film = film + jax.ops.segment_sum(q.rad[b:], q.pix[b:],
-                                          num_segments=npix)
+        rad_out = commit(rad_out, q, b)
         q = Queue(o=q.o[:b], d=q.d[:b], atten=q.atten[:b], rad=q.rad[:b],
-                  pix=q.pix[:b], key=q.key[:, :b], alive=q.alive[:b])
-        return run((bounce, q, film, nrays, hist), caps[1:])
+                  pix=q.pix[:b], key=q.key[:, :b], alive=q.alive[:b],
+                  slot=q.slot[:b])
+        return run((bounce, q, rad_out, nrays, hist), caps[1:])
 
     caps = [c for c in (pk0 // 2, pk0 // 4, pk0 // 8, pk0 // 16,
                         pk0 // 32) if c >= 8]
-    init = (jnp.int32(0), queue, film, jnp.int32(0),
-            jnp.zeros(max_depth, jnp.int32))
-    _, queue, film, nrays, hist = run(init, caps)
-    film = commit_remaining(film, queue)
-    return film, nrays, hist
+    init = (jnp.int32(0), queue, jnp.zeros((pk0, rw), jnp.float32),
+            jnp.int32(0), jnp.zeros(max_depth, jnp.int32))
+    _, queue, rad_out, nrays, hist = run(init, caps)
+    rad_out = commit(rad_out, queue, 0)
+    return rad_out.reshape(n, 3), nrays, hist
 
 
 def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
@@ -454,4 +478,5 @@ def make_queue(o, d, pix, keys, alive=None) -> Queue:
         pix=pix.astype(jnp.int32),
         key=keys,
         alive=jnp.ones(n, bool) if alive is None else alive,
+        slot=jnp.arange(n, dtype=jnp.int32),
     )
