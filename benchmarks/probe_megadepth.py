@@ -30,6 +30,22 @@ across the two probes; the marginal STRUCTURE is the result):
       7       73.36        1.16         —
       8       74.60        1.24         —
 
+RE-MEASURED after the scatter fix (same protocol, same ray set):
+
+    depth 1: 16.87 ms (was 38.92)   depth 2: 31.11 (was 51.59)
+    depth 8: 53.09 ms (was 74.60)   -> full megakernel 1.40x
+
+~12 ms of depth-1 fixed cost remains above the isolated body. The
+ladder ablation (BOUNCE_STAGE_MAX 0 vs 4, same protocol) attributes it:
+
+    depth 1:  no ladder  9.28 ms   4-stage ladder 16.89 ms
+    depth 8:  no ladder 67.00 ms   4-stage ladder 52.71 ms
+
+i.e. the bounce ladder carries ~7.6 ms of fixed cost (argsorts +
+compaction gathers + 0-iteration stage loops + carry copies) but buys
+14.3 ms of tail compaction at full depth — net +27% — so it stays; the
+last ~4 ms is bounce-0-in-while_loop context vs the isolated jit.
+
 VERDICT: the megakernel's unattributed cost is a ~34 ms FIXED term —
 depth-1 trace costs 38.9 ms where the isolated bounce-0 body costs
 5.1 ms, and every later marginal roughly matches its isolated body

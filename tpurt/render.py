@@ -328,7 +328,6 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
     per-ray segment_sum commits cost ~21 ms each — probe_scatter.py);
     the permute-out is an inverse-order gather. Returns (film, rays_cast,
     live-per-bounce summed over chunks)."""
-    npix = width * height
     film_tiled = jnp.where(valid_pad[:, None], film_flat[order_pad], 0.0)
 
     def chunk_body(ci, carry):
