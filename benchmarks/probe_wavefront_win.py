@@ -47,6 +47,17 @@ BASELINE config-4 surface (queue semantics, occupancy metrics,
 per-bounce compaction are all real and tested) but is not the
 throughput path; c4's bench mode stays as specified and the conclusion
 is recorded in BASELINE.md.
+
+RE-MEASURED after the round-3 scatter fixes (both modes got faster —
+wavefront lost its per-commit segment_sum, mega its identity-scatter
+epilogue — so the question was reopened and re-closed, same protocol):
+
+    c4_mega             9.153 Mrays/s   wall 1.046 s   (was 7.157)
+    c4_wavefront        7.445 Mrays/s   wall 1.285 s   (was 5.696)
+    deepglass_mega      3.952 Mrays/s   wall 2.382 s   (was 2.969)
+    deepglass_wavefront 3.363 Mrays/s   wall 2.800 s   (was 2.682)
+
+VERDICT UNCHANGED: staged-mega wins by 23% on c4 and 18% on deep-glass.
 """
 
 from __future__ import annotations

@@ -104,6 +104,16 @@ PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 # v5e: {3: 14.1, 4: 11.9, 6: 10.26, 8: 10.11, 12: 15.3} ms on the c3
 # bounce-1 workload — 8 wins both bounce and primary slightly.
 ADV_STEPS = 8
+# Stage-graded phase A (round 3, benchmarks/probe_advstage.py): narrow
+# stages are round-LATENCY-bound (~25 us floor), so deeper advances per
+# round are nearly free there and cut the stage's round count toward
+# walk/ADV. probe_advdrain refuted a GLOBAL ADV raise — the full-width
+# stages pay the masked-step volume — but grading by the STATIC
+# per-stage width pp (exactly how DRAIN_N is already chosen) only
+# deepens rounds where latency, not volume, gates. Selected in the
+# round body next to n_drains.
+ADV_MID = 8     # stages with pp <= DRAIN2_MAX
+ADV_TAIL = 8    # stages with pp <= DRAIN4_MAX
 # node steps per round over the WIDE (8-ary) layout: each step covers ~3
 # binary levels, so fewer steps sustain the same leaf-enqueue rate.
 # Tuned round 3 on the c3 bounce-1 workload (benchmarks/probe_fanout.py).
@@ -387,10 +397,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 return nd, banks, qh, qt
 
             step_fn = adv_step_wide if wide else adv_step
-            for _ in range(adv_steps):
+            adv_here = adv_steps if wide else (
+                ADV_TAIL if pp <= DRAIN4_MAX else
+                ADV_MID if pp <= DRAIN2_MAX else adv_steps)
+            for _ in range(adv_here):
                 node, banks, qh, qt = step_fn(node, banks, qh, qt)
             if with_counters:
-                it_adv = it_adv + adv_steps
+                it_adv = it_adv + adv_here
 
             # Phase B: dense leaf intersection, draining ring heads.
             # Measured design history (benchmarks/probe_roundcost.py):
