@@ -22,8 +22,35 @@ Byte-exactness: ADV only changes WHEN leaves drain, not enqueue order
 t_best in pop order, so goldens are unaffected (same argument as the
 batched drains, traverse.drain_batch docstring).
 
-MEASURED: (run pending — numbers recorded below once the probe has run
-on the TPU; do not cite this probe until then)
+MEASURED (TPU v5e via axon relay, 2026-08-17, device_time_fused):
+
+    bounce-1 @131k       ms    rounds  sum_adv_steps  sum_pp
+      mid8  tail8      10.48    124        992        32208   [baseline]
+      mid8  tail16     10.68    114       1200        31760
+      mid8  tail32     14.92    111       1680        31616
+      mid12 tail24     13.17    103       1476        30464
+      mid16 tail32     15.07    101       1832        30064
+      mid16 tail48     16.48    100       2264        30032
+    full megakernel @524k      ms    ns/primary
+      mid8  tail8            53.11     101.3         [baseline]
+      mid8  tail32           63.38     120.9
+      mid12 tail24           60.01     114.5
+      mid16 tail32           63.65     121.4
+
+VERDICT: REFUTED, and the mechanism is now precise — there is no
+"latency floor" that extra phase-A steps hide under, because each
+phase-A step IS a serial dependence link (gather -> slab -> select,
+~2-4 us): a round's latency is proportional to its ADV depth, so the
+thing wall time tracks is TOTAL LINKS = sum over rounds of
+(ADV_stage + drain/bookkeeping links). Grading the tail cuts rounds
+(124 -> 100) but RAISES total adv links (992 -> 2264: walks don't
+shorten; the extra steps run masked on straggler packets that already
+stalled on full rings) — wall follows the links, up 57%. ADV_STEPS=8
+balances per-round fixed links against step links and the round-2
+global tune already found that optimum; the graded knobs stay at 8
+(= OFF). Together with probe_advdrain this closes scheduling for good:
+round count is NOT a cost in itself — serialized link count is, and it
+is conserved by every reschedule.
 """
 
 from __future__ import annotations

@@ -104,14 +104,13 @@ PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 # v5e: {3: 14.1, 4: 11.9, 6: 10.26, 8: 10.11, 12: 15.3} ms on the c3
 # bounce-1 workload — 8 wins both bounce and primary slightly.
 ADV_STEPS = 8
-# Stage-graded phase A (round 3, benchmarks/probe_advstage.py): narrow
-# stages are round-LATENCY-bound (~25 us floor), so deeper advances per
-# round are nearly free there and cut the stage's round count toward
-# walk/ADV. probe_advdrain refuted a GLOBAL ADV raise — the full-width
-# stages pay the masked-step volume — but grading by the STATIC
-# per-stage width pp (exactly how DRAIN_N is already chosen) only
-# deepens rounds where latency, not volume, gates. Selected in the
-# round body next to n_drains.
+# Stage-graded phase A — measured and REFUTED (round 3,
+# benchmarks/probe_advstage.py): there is no latency floor that deeper
+# rounds hide under, because each phase-A step IS a serial dependence
+# link (~2-4 us); wall time tracks TOTAL LINKS, which every tail/mid
+# grade only raises (masked steps on stalled stragglers). The knobs
+# stay at ADV_STEPS (= graded OFF); kept as hooks because the selection
+# is one line and the probe grid reuses them.
 ADV_MID = 8     # stages with pp <= DRAIN2_MAX
 ADV_TAIL = 8    # stages with pp <= DRAIN4_MAX
 # node steps per round over the WIDE (8-ary) layout: each step covers ~3
