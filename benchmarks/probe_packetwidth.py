@@ -16,8 +16,25 @@ primaries, both at 524288 rays in STRIDED tile order (the bench ray
 set — probe_megadepth's first-4096-tiles set measured 3x cheaper and
 is not representative).
 
-MEASURED: (run pending — numbers recorded below once the probe has run
-on the TPU; do not cite this probe until then)
+MEASURED (TPU v5e via axon relay, 2026-08-17, device_time_fused,
+524288 STRIDED-tile rays):
+
+    PACKET_R        primary ms / rounds     bounce-1 ms / rounds
+      128 [prod]      5.30 / 32               33.55 / 169
+      256             6.05 / 46               42.31 / 250
+      512             8.48 / 57               64.51 / 357
+
+VERDICT: REFUTED — 128 stands. Halving the packet count does halve the
+per-round O(pp) volume (sum_pp 153k -> 136k -> 114k on bounce-1), but
+the widened per-packet ray union lengthens the straggler walk so much
+that ROUNDS rise 169 -> 250 -> 357, and per probe_advstage wall tracks
+total serialized links ∝ rounds. Narrower packets (R=64) were not run:
+the trend is monotone against width in this direction too — half-empty
+128-lane tiles would double the effective dense volume per useful ray.
+Also recorded: bounce-1 at 524k on the STRIDED (bench-representative)
+ray set costs 33.5 ms — probe_megadepth's first-4096-tiles set (8.2 ms
+isolated) is ~3x cheaper per ray; use strided sets for absolute
+numbers.
 """
 
 from __future__ import annotations
