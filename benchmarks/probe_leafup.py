@@ -34,6 +34,16 @@ would double HBM and compile. Model refinement recorded: the round-2
 "dense volume is free" held at 131k on the cheap ray set; at the 512k
 strided batch the bounce-1 dense share is ~25-40%, so volume and links
 are now the SAME order — neither is a free currency.
+
+DOWNWARD rows (same protocol): LN=24 bounce-1 31.96 ms / 181 rounds,
+primary 5.27 (neutral); LN=16 bounce-1 31.72 / 206 rounds, primary
+5.65 (+8%). LN=24 was then ADOPTION-TESTED end-to-end and LOST: quick
+c3 6.18-6.28 at LN=24 vs 6.25 at LN=32 on the same build
+(within noise, i.e. the isolated 5% bounce-1 win does not survive the
+full kernel — deep-bounce tails are round/link-bound and pay 24's +7%
+rounds without collecting its volume saving). 32 stands. General
+lesson recorded in CLAUDE.md: isolated-kernel wins must be re-measured
+end-to-end before adoption.
 """
 
 from __future__ import annotations

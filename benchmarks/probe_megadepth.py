@@ -79,20 +79,37 @@ from tpurt import camera as camera_mod, config, render, rng, trace
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
 DEPTHS = [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 \
     else [1, 2, 3, 4, 5, 6, 7, 8]
+# "strided" (argv[3]): sample tiles across the whole frame x 4 spp — the
+# bench-representative set (~3x costlier per ray than the default
+# first-4096-tiles set; see probe_packetwidth's VERDICT note)
+STRIDED = len(sys.argv) > 3 and sys.argv[3] == "strided"
 
 
 def main() -> None:
+    import numpy as np
+
     cfg = config.RenderConfig(width=1280, height=720, spp=4, scene="blob",
                               mesh_subdiv=6, mode="mega", max_depth=8)
     scene, cam = config.build_scene(cfg)
     scene = scene.device()
 
-    order_full = render.tile_order(cfg.width, cfg.height)
-    n_tiles = order_full.size // 128
-    step = n_tiles // (N // 128)
-    order = order_full.reshape(n_tiles, 128)[::step][: N // 128].reshape(-1)
-    pix = jnp.asarray(order)
-    keys = rng.make_streams(jnp.uint32(0), pix, jnp.zeros(N, jnp.int32))
+    if STRIDED:
+        order_full = np.asarray(render.tile_order(cfg.width, cfg.height))
+        pix_all = np.tile(order_full, 4)
+        smp_all = np.repeat(np.arange(4, dtype=np.int32), order_full.size)
+        n_tiles = pix_all.size // 128
+        step = n_tiles // (N // 128)
+        sel = np.arange(n_tiles)[::step][: N // 128]
+        pix = jnp.asarray(pix_all.reshape(n_tiles, 128)[sel].reshape(-1))
+        smp = jnp.asarray(smp_all.reshape(n_tiles, 128)[sel].reshape(-1))
+    else:
+        order_full = render.tile_order(cfg.width, cfg.height)
+        n_tiles = order_full.size // 128
+        step = n_tiles // (N // 128)
+        pix = jnp.asarray(
+            order_full.reshape(n_tiles, 128)[::step][: N // 128].reshape(-1))
+        smp = jnp.zeros(N, jnp.int32)
+    keys = rng.make_streams(jnp.uint32(0), pix, smp)
     jit2 = rng.camera_draws(keys)
     o, d = camera_mod.generate_rays(cam, cfg.width, cfg.height, pix, jit2)
 

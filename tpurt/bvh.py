@@ -206,6 +206,14 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
 
 
 PACKET_LEAF_N = 32
+# Packet leaf size history: 32 tuned in round 1 (drain-1 rounds),
+# re-confirmed downward at 131k in round 2 (probe_leafsize: {32,16,8}),
+# and re-audited in BOTH directions at 512k strided in round 3
+# (probe_leafup.py): 24 wins 5% on ISOLATED bounce-1 (dense volume is
+# ~25-40% of wall there) and 48 wins 6% on isolated primaries, but the
+# FULL megakernel measured SLOWER at 24 — the deep-bounce tail is
+# round/link-bound and pays 24's +7% round count without its volume
+# saving. 32 stands end-to-end.
 LEAF_F = 12  # f32 slots per triangle in a packed leaf row
 
 

@@ -305,7 +305,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         def outer(st):
             (node, end, b0, b1, b2, b3, qh, qt, sox, soy, soz,
              sdx, sdy, sdz, six, siy, siz,
-             t_best, g_best, found,
+             t_best, nx, ny, nz, m_best, g_best, found,
              it_outer, it_adv, it_pp, it_pend) = st
             banks = [b0, b1, b2, b3]
             pp = node.shape[0]
@@ -421,28 +421,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             n_drains = DRAIN_N[0] if pp <= DRAIN4_MAX else (
                 DRAIN_N[1] if pp <= DRAIN2_MAX else DRAIN_N[2])
 
-            def drain_batch(D, banks, qh, qt, t_best, g_best, found,
-                            it_pend):
+            def drain_batch(D, banks, qh, qt, t_best, nx, ny, nz,
+                            m_best, g_best, found, it_pend):
                 """Pop up to D leaf rows per packet and intersect them in
                 one dense (P, D*LN, R) phase. Winner order is identical
                 to D sequential single drains: rows keep pop order on the
                 flattened axis and argmin takes the first minimum, so
-                ties resolve exactly as before (goldens unaffected).
-
-                The round carries only (t_best, g_best, found): winner
-                NORMALS and MATERIAL are reconstructed ONCE per traversal
-                from g_best in the epilogue (packet_nearest_tri tail) —
-                leaf rows pack e1/e2/mat bit-identical to the scene
-                arrays (scene.tri_ge1/ge2/gmat), so the epilogue's
-                cross/normalize reproduces the old per-round one-hot
-                selects exactly. Measured: perf-NEUTRAL (bounce-1 33.62
-                vs 33.55 ms at 524k strided) — XLA co-fuses same-shape
-                reductions, so the five dropped one-hot sums were not
-                separate links after all; kept because the round carries
-                4 fewer full-width arrays and the drain is simpler. A
-                take_along_axis gid select was measured 4x SLOWER
-                end-to-end (no VPU vector gather across lanes) — one-hot
-                is the idiom."""
+                ties resolve exactly as before (goldens unaffected)."""
 
                 def head_at(q):
                     m = q % BANK_S
@@ -503,6 +488,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 v0x, v0y, v0z = tc(0), tc(1), tc(2)
                 e1x, e1y, e1z = tc(3), tc(4), tc(5)
                 e2x, e2y, e2z = tc(6), tc(7), tc(8)
+                matb = jax.lax.bitcast_convert_type(
+                    tri[:, :, 9].reshape(pp, dl), jnp.int32)
                 gidb = jax.lax.bitcast_convert_type(
                     tri[:, :, 10].reshape(pp, dl), jnp.int32)
                 pend3 = jnp.broadcast_to(
@@ -539,26 +526,47 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 j = jnp.argmin(t, axis=1)
                 better = tj < t_best
 
-                # winner gid via one-hot reduce — NOT take_along_axis:
-                # a per-lane dynamic index has no vector-gather hardware
-                # on the VPU and measured 4x slower end-to-end (c3 7.2 ->
-                # 1.8 Mrays/s); the one-hot sum is the TPU idiom.
+                # per-leaf-tri geometric normals (P, D*LN), winner-select
+                # via one-hot
+                gnx = (e1y[:, :, 0] * e2z[:, :, 0]
+                       - e1z[:, :, 0] * e2y[:, :, 0])
+                gny = (e1z[:, :, 0] * e2x[:, :, 0]
+                       - e1x[:, :, 0] * e2z[:, :, 0])
+                gnz = (e1x[:, :, 0] * e2y[:, :, 0]
+                       - e1y[:, :, 0] * e2x[:, :, 0])
+                glen = jnp.sqrt(jnp.maximum(gnx**2 + gny**2 + gnz**2,
+                                            1e-24))
+                gnx, gny, gnz = gnx / glen, gny / glen, gnz / glen
+
                 onehot = jnp.arange(dl)[None, :, None] == j[:, None, :]
+                ohf = onehot.astype(jnp.float32)
+                w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
+                w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
+                w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
+                w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0),
+                              axis=1)
                 w_g = jnp.sum(jnp.where(onehot, gidb[:, :, None], 0),
-                              axis=1)                       # (P, R)
+                              axis=1)
 
                 t_best = jnp.where(better, tj, t_best)
+                nx = jnp.where(better, w_nx, nx)
+                ny = jnp.where(better, w_ny, ny)
+                nz = jnp.where(better, w_nz, nz)
+                m_best = jnp.where(better, w_m, m_best)
                 g_best = jnp.where(better, w_g, g_best)
                 found = found | better
-                return (banks, qh, qt, t_best, g_best, found, it_pend)
+                return (banks, qh, qt, t_best, nx, ny, nz,
+                        m_best, g_best, found, it_pend)
 
-            (banks, qh, qt, t_best, g_best, found, it_pend) = drain_batch(
-                n_drains, banks, qh, qt, t_best, g_best, found, it_pend)
+            (banks, qh, qt, t_best, nx, ny, nz, m_best, g_best,
+             found, it_pend) = drain_batch(
+                n_drains, banks, qh, qt, t_best, nx, ny, nz,
+                m_best, g_best, found, it_pend)
 
             return (node, end, banks[0], banks[1], banks[2], banks[3],
                     qh, qt, sox, soy, soz, sdx, sdy, sdz,
                     six, siy, siz,
-                    t_best, g_best, found,
+                    t_best, nx, ny, nz, m_best, g_best, found,
                     it_outer, it_adv, it_pp, it_pend)
 
         return outer
@@ -617,7 +625,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         """
         (node, end, b0, b1, b2, b3, qh, qt,
          sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
-         t_best, g_best, found,
+         t_best, nx, ny, nz, m_best, g_best, found,
          it_outer, it_adv, it_pp, it_pend) = st
         cp = node.shape[0]
         # closes over `cut` — the (MC_K, 2) row-span table of whichever
@@ -635,7 +643,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         stv = (node_v, end_v, neg, neg, neg, neg, ziv, ziv,
                t8(sox), t8(soy), t8(soz), t8(sdx), t8(sdy), t8(sdz),
                t8(six), t8(siy), t8(siz),
-               t8(t_best), t8(g_best),
+               t8(t_best), t8(nx), t8(ny), t8(nz), t8(m_best), t8(g_best),
                t8(found), it_outer, it_adv, it_pp, it_pend)
         stv = run_stages(stv, stage_caps(vp))
 
@@ -646,6 +654,10 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         tb = blk(stv[17])
         am = jnp.argmin(tb, axis=0)                     # (cp, R)
         oh = jnp.arange(MC_K)[:, None, None] == am[None]
+        ohf = oh.astype(jnp.float32)
+
+        def fsel(a):
+            return jnp.sum(blk(a) * ohf, axis=0)
 
         def isel(a):
             return jnp.sum(jnp.where(oh, blk(a), 0), axis=0)
@@ -653,11 +665,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         out = [jnp.full(cp, -1, jnp.int32), end, b0, b1, b2, b3, qh, qt,
                sox, soy, soz, sdx, sdy, sdz, six, siy, siz,
                jnp.min(tb, axis=0),
-               isel(stv[18]),
-               jnp.any(blk(stv[19]), axis=0)]
-        out += list(stv[20:24])
+               fsel(stv[18]), fsel(stv[19]), fsel(stv[20]),
+               isel(stv[21]), isel(stv[22]),
+               jnp.any(blk(stv[23]), axis=0)]
+        out += list(stv[24:28])
         return tuple(out)
 
+    zero = jnp.zeros((p, PACKET_R), jnp.float32)
     neg1 = jnp.full(p, -1, jnp.int32)
     zi = jnp.zeros(p, jnp.int32)
     init = (
@@ -666,6 +680,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         neg1, neg1, neg1, neg1, zi, zi,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         t_max.reshape(p, PACKET_R),
+        zero, zero, zero,
+        jnp.zeros((p, PACKET_R), jnp.int32),
         jnp.full((p, PACKET_R), -1, jnp.int32),
         jnp.zeros((p, PACKET_R), bool),
         jnp.int32(0),
@@ -677,29 +693,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         final = mc_wide(init)
     else:
         final = run_stages(init, stage_caps(p))
-    t_best, g_best, found = final[17:20]
-
-    # Winner-attribute epilogue: normals + material reconstructed ONCE
-    # from the winning triangle id, replacing ~5 reduction links per
-    # drain round (and 4 carried full-width arrays) — see drain_batch's
-    # docstring. Bit-exact vs the old per-round one-hot selects: leaf
-    # rows pack e1/e2 verbatim from the same arrays (bvh.build_packet),
-    # and this cross/normalize is the drain's old formula componentwise.
-    g_flat = g_best.reshape(-1)[:n]
-    found_flat = found.reshape(-1)[:n]
-    gc = jnp.maximum(g_flat, 0)
-    e1 = scene.tri_ge1[gc]                              # (n, 3) gathers
-    e2 = scene.tri_ge2[gc]
-    gnx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
-    gny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
-    gnz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    glen = jnp.sqrt(jnp.maximum(gnx**2 + gny**2 + gnz**2, 1e-24))
-    n_best = jnp.stack([gnx / glen, gny / glen, gnz / glen], axis=-1)
-    n_best = jnp.where(found_flat[:, None], n_best, 0.0)
-    m_best = jnp.where(found_flat, scene.tri_gmat[gc], 0)
-
-    out = (t_best.reshape(-1)[:n], n_best, m_best, found_flat, g_flat)
+    t_best, nx, ny, nz, m_best, g_best, found = final[17:24]
+    n_best = jnp.stack(
+        [nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n]], axis=-1
+    )
+    out = (t_best.reshape(-1)[:n], n_best,
+           m_best.reshape(-1)[:n], found.reshape(-1)[:n],
+           g_best.reshape(-1)[:n])
     if with_counters:
         # (rounds, adv steps, Σ array-packets over rounds, Σ pending)
-        return out + tuple(final[20:24])
+        return out + tuple(final[24:28])
     return out

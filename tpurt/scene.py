@@ -84,15 +84,6 @@ class Scene(NamedTuple):
     # padded-soup slot -> original triangle index (-1 padding); present
     # whenever a binary BVH is attached (feeds the per-ray oracle's gid)
     tri_src: Optional[np.ndarray]    # (Tp,) i32
-    # ORIGINAL-order edge/material tables (gid-indexed), present with the
-    # packet layouts: the traversal's winner-attribute epilogue
-    # (kernels/traverse.py) reconstructs the normal and material from
-    # g_best with two (N,3) gathers — bit-identical to the leaf rows
-    # (both are the same numpy v1-v0 / v2-v0 of the same inputs,
-    # bvh.build_packet)
-    tri_ge1: Optional[np.ndarray] = None   # (T0,3)
-    tri_ge2: Optional[np.ndarray] = None   # (T0,3)
-    tri_gmat: Optional[np.ndarray] = None  # (T0,) i32
 
     @property
     def has_bvh(self) -> bool:
@@ -229,11 +220,7 @@ class SceneBuilder:
         pk_nodes = pk_leaves = pk_cut = None
         pk8_nodes = pk8_leaves = pk8_cut = None
         tri_src = None
-        tri_ge1 = tri_ge2 = tri_gmat = None
         if use_bvh:
-            tri_ge1 = tv1 - tv0
-            tri_ge2 = tv2 - tv0
-            tri_gmat = tm
             pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
             pk_nodes, pk_leaves, pk_cut = pk.nodes, pk.leaves, pk.cut
             pk8 = bvh_mod.build_packet8(tv0, tv1, tv2, tm)
@@ -279,7 +266,6 @@ class SceneBuilder:
             pk_nodes=pk_nodes, pk_leaves=pk_leaves, pk_cut=pk_cut,
             pk8_nodes=pk8_nodes, pk8_leaves=pk8_leaves, pk8_cut=pk8_cut,
             tri_shn=tri_shn, tri_src=tri_src,
-            tri_ge1=tri_ge1, tri_ge2=tri_ge2, tri_gmat=tri_gmat,
         )
 
 
