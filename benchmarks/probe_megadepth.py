@@ -46,6 +46,24 @@ compaction gathers + 0-iteration stage loops + carry copies) but buys
 14.3 ms of tail compaction at full depth — net +27% — so it stays; the
 last ~4 ms is bounce-0-in-while_loop context vs the isolated jit.
 
+STRIDED profile (bench-representative ray set, post-scatter-fix,
+2026-08-18, `probe_megadepth.py 524288 1,2,3,4,8 strided`):
+
+    depth   total ms   marginal ms   share of depth-8 frame
+      1       17.84       17.84       11%  (bounce-0 + machinery)
+      2       61.17       43.33       27%  (bounce-1)
+      3       92.11       30.94       19%
+      4      116.69       24.58       15%
+      8      161.40       44.71       28%  (bounces 4-7 combined)
+
+Total 307.8 ns/primary — exactly probe_stagecaps' pre-fix 349.2 minus
+the 40 ns/primary identity scatter, cross-validating both. The frame is
+divergent-bounce traversal end to end: no single bounce exceeds 27%,
+the deep tail (4-7, <2% occupancy) costs as much as bounce-1, and
+bounce-1 in-context (43.3) runs ~29% above its isolated cost (33.6,
+probe_packetwidth) — ladder/context overhead consistent with the
+cheap-set attribution below.
+
 VERDICT: the megakernel's unattributed cost is a ~34 ms FIXED term —
 depth-1 trace costs 38.9 ms where the isolated bounce-0 body costs
 5.1 ms, and every later marginal roughly matches its isolated body
