@@ -97,10 +97,12 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
             nrays = jnp.sum(valid, dtype=jnp.int32)
         elif mode == "wavefront":
             lpix = jnp.tile(jnp.arange(bb, dtype=jnp.int32), c)
-            film_local = jnp.zeros((bb, 3), jnp.float32)
             queue = wavefront.make_queue(o, d, lpix, keys, alive=valid)
-            return wavefront.trace_static(scene, film_local, queue,
-                                          max_depth, rr_start)
+            rad, nrays = wavefront.trace_static(scene, queue,
+                                                max_depth, rr_start)
+            # rad is in original queue order (sample-major): reduce the
+            # sample axis like the mega branch — no per-ray segment_sum
+            return rad.reshape(c, bb, 3).sum(axis=0), nrays
         else:
             rad, nrays = trace.trace(scene, o, d, keys, max_depth,
                                      rr_start, valid=valid)

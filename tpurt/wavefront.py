@@ -308,7 +308,7 @@ def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
     return rad_out.reshape(n, 3), nrays, hist
 
 
-def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
+def trace_static(scene: Scene, queue: Queue, max_depth: int, rr_start):
     """Device-resident wavefront loop with a fixed-capacity queue.
 
     Used where the host-level shrinking-bucket loop can't run — inside
@@ -317,8 +317,16 @@ def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
     compaction sort still runs for memory-coherence of the BVH gathers.
     Semantically identical to trace_chunk (same RNG, same per-ray math).
 
-    Returns (film', rays_cast).
+    Returns (radiance (N,3) in the INPUT queue order, rays_cast) — the
+    caller folds it into its film (mesh._device_trace reduces the sample
+    axis and slice-adds, like the megakernel path). The former
+    per-ray ``segment_sum`` commit costs ~40 ns/row on TPU
+    (probe_scatter.py) inside every shard_map sub-block; packet-aligned
+    queues unshuffle via slot at packet-row granularity instead
+    (~1000x cheaper), non-aligned ones (tiny test frames) via a per-ray
+    scatter on their own scale.
     """
+    n = queue.o.shape[0]
 
     def cond(c):
         bounce, q, _ = c
@@ -331,8 +339,14 @@ def trace_static(scene: Scene, film, queue: Queue, max_depth: int, rr_start):
 
     init = (jnp.int32(0), queue, jnp.int32(0))
     _, queue, nrays = jax.lax.while_loop(cond, body, init)
-    film = commit_remaining(film, queue)
-    return film, nrays
+    if n % trace.PACKET_R == 0:
+        rw = trace.PACKET_R * 3
+        spk = queue.slot[::trace.PACKET_R] // trace.PACKET_R
+        rad = jnp.zeros((n // trace.PACKET_R, rw), jnp.float32).at[spk].set(
+            queue.rad.reshape(-1, rw)).reshape(n, 3)
+    else:
+        rad = jnp.zeros((n, 3), jnp.float32).at[queue.slot].set(queue.rad)
+    return rad, nrays
 
 
 @partial(jax.jit,
