@@ -104,28 +104,6 @@ def _order_pad_cached(width: int, height: int, block: int):
     return _order_pad_cache[k]
 
 
-@partial(jax.jit, static_argnames=("mode", "max_depth", "rr_start"))
-def _trace_batch(scene: Scene, cam, pixel_ids, sample_ids, seed,
-                 width, height, mode: str, max_depth: int, rr_start):
-    """Trace the (pixel × sample) outer product as one flat ray batch.
-
-    pixel_ids: (B,), sample_ids: (C,). Returns (radiance summed over the C
-    samples, shape (B,3), and the rays-cast scalar)."""
-    b = pixel_ids.shape[0]
-    c = sample_ids.shape[0]
-    pix = jnp.tile(pixel_ids, c)                      # (B*C,) sample-major
-    smp = jnp.repeat(sample_ids, b)
-    keys = rng.make_streams(seed, pix, smp)
-    jit2 = rng.camera_draws(keys)
-    o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
-
-    if mode == "primary":
-        rad, nrays = trace.shade_primary(scene, o, d)
-    else:
-        rad, nrays = trace.trace(scene, o, d, keys, max_depth, rr_start)
-    return rad.reshape(c, b, 3).sum(axis=0), nrays
-
-
 @partial(jax.jit,
          static_argnames=("width", "height", "mode", "max_depth",
                           "rr_start", "block", "c", "n_blocks"),
@@ -273,39 +251,28 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
                                  pixel_block, spp_chunk,
                                  sample_start, sample_stop, seed, stats_sink)
 
+    # cfg.mode == "persist": the persistent wavefront streams each pixel
+    # block's whole sample range through one fixed-capacity dispatch
+    assert cfg.mode == "persist", cfg.mode
     total_rays = 0
     for p0 in range(0, npix, pixel_block):
         p1 = min(p0 + pixel_block, npix)
         pixel_ids = jnp.asarray(order[p0:p1])
-        if cfg.mode == "persist":
-            # persistent wavefront streams the whole sample range of this
-            # pixel block through one fixed-capacity device dispatch
-            n_smp = sample_stop - sample_start
-            total = (p1 - p0) * n_smp
-            capacity = min(ray_batch, total)
-            capacity += (-capacity) % trace.PACKET_R
-            film_flat, nrays, occ, iters = wavefront.trace_persistent(
-                scene, cam, film_flat, pixel_ids,
-                jnp.int32(sample_start), jnp.int32(n_smp), seed,
-                cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
-                capacity,
+        n_smp = sample_stop - sample_start
+        total = (p1 - p0) * n_smp
+        capacity = min(ray_batch, total)
+        capacity += (-capacity) % trace.PACKET_R
+        film_flat, nrays, occ, iters = wavefront.trace_persistent(
+            scene, cam, film_flat, pixel_ids,
+            jnp.int32(sample_start), jnp.int32(n_smp), seed,
+            cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
+            capacity,
+        )
+        total_rays += int(nrays)
+        if stats_sink is not None:
+            stats_sink.setdefault("persist_occupancy", []).append(
+                float(occ)
             )
-            total_rays += int(nrays)
-            if stats_sink is not None:
-                stats_sink.setdefault("persist_occupancy", []).append(
-                    float(occ)
-                )
-            continue
-        for s0 in range(sample_start, sample_stop, spp_chunk):
-            s1 = min(s0 + spp_chunk, sample_stop)
-            sample_ids = jnp.arange(s0, s1, dtype=jnp.int32)
-            rad, nrays = _trace_batch(
-                scene, cam, pixel_ids, sample_ids, seed,
-                cfg.width, cfg.height, cfg.mode, cfg.max_depth,
-                cfg.rr_start,
-            )
-            film_flat = film_flat.at[pixel_ids].add(rad)
-            total_rays += int(nrays)
     return film_flat, total_rays
 
 

@@ -376,7 +376,11 @@ def trace_persistent(scene: Scene, cam, film, pixel_table, sample_lo,
     on, and constant occupancy means the staged tail compaction never
     engages. On this architecture coherence beats occupancy; the mode is
     kept as the occupancy-optimal reference point and for scenes where
-    traversal is cheap relative to shading.
+    traversal is cheap relative to shading. (Round-3 addendum: the
+    per-iteration `film.at[pix].add` below also pays the ~40 ns/row TPU
+    scatter floor, probe_scatter.py — a second, independent reason the
+    design loses here; it cannot be batched away because a slot's
+    radiance must commit before the slot refills.)
     """
     npix_chunk = pixel_table.shape[0]
     total = npix_chunk * jnp.asarray(n_samples, jnp.int32)
