@@ -139,3 +139,49 @@ def test_effective_ray_batch_scopes_the_512k_default():
     # an explicitly SMALLER ray_batch is never raised by the cap
     cfg_small = cfg_brute.replace(ray_batch=1 << 12)
     assert render.effective_ray_batch(cfg_small, scene_brute) == 1 << 12
+
+
+def test_bounce_stage_caps_override_is_image_invariant(sp_scene):
+    """The BOUNCE_STAGE_CAPS probe hook (benchmarks/probe_bladder.py)
+    must be a pure reschedule: any ladder shape produces bit-identical
+    radiance (stage compaction only changes WHERE rows live, never
+    which rays bounce or in what RNG order)."""
+    from tpurt import trace
+
+    scene, cam = sp_scene
+    f_base, s_base = render.render(CFG, scene, cam)
+    old = trace.BOUNCE_STAGE_CAPS
+    trace.BOUNCE_STAGE_CAPS = (2, 1)   # aggressive 2-stage ladder
+    try:
+        f_alt, s_alt = render.render(CFG, scene, cam)
+    finally:
+        trace.BOUNCE_STAGE_CAPS = old
+    assert s_base["rays"] == s_alt["rays"]
+    assert np.array_equal(np.asarray(f_base), np.asarray(f_alt))
+
+
+def test_trace_static_returns_original_queue_order(sp_scene):
+    """trace_static's contract (the shard_map wavefront body): radiance
+    comes back in the INPUT queue order, so the caller's sample-axis
+    reduction replaces the former per-ray segment_sum. Folding its
+    output by the ORIGINAL pix ids must reproduce trace_chunk's film."""
+    import jax.numpy as jnp
+
+    from tpurt import camera as camera_mod, rng, wavefront
+
+    scene, cam = sp_scene
+    n = 512   # 4 packets, packet-aligned
+    pix = jnp.arange(n, dtype=jnp.int32)
+    keys = rng.make_streams(jnp.uint32(7), pix, jnp.zeros(n, jnp.int32))
+    jit2 = rng.camera_draws(keys)
+    o, d = camera_mod.generate_rays(cam, CFG.width, CFG.height, pix, jit2)
+    q = wavefront.make_queue(o, d, pix, keys)
+
+    npix = CFG.width * CFG.height
+    film_a = jnp.zeros((npix, 3), jnp.float32)
+    film_a, rays_a = wavefront.trace_chunk(scene, film_a, q, 6, None)
+
+    rad, rays_b = wavefront.trace_static(scene, q, 6, None)
+    film_b = jnp.zeros((npix, 3), jnp.float32).at[pix].add(rad)
+    assert rays_a == int(rays_b)
+    assert np.allclose(np.asarray(film_a), np.asarray(film_b), atol=1e-5)
