@@ -39,7 +39,14 @@ def _sah_partition(idx: np.ndarray, tlo, thi, centroid,
                    leaf_n: int) -> tuple[np.ndarray, np.ndarray]:
     """Binned-SAH split (A.11 'SAH optional later' — enabled: measured
     fewer node visits than median split on blobby meshes). Falls back to
-    the widest-axis median when every centroid lands in one bin."""
+    the widest-axis median when every centroid lands in one bin.
+
+    This NumPy implementation is the REFERENCE; the production path is
+    the native C++ twin (tpurt/native/sah.cpp, selected per build by
+    _partitioner below — this version was 12.7 s of a 16.6 s
+    blob-subdiv-6 scene build). The port is bit-exact by construction
+    and pinned against this implementation by tests/test_native_sah.py;
+    no g++ / TPURT_NATIVE=0 falls back here."""
     c = centroid[idx]
     cb_lo = c.min(axis=0)
     cb_hi = c.max(axis=0)
@@ -97,6 +104,17 @@ def _sah_partition(idx: np.ndarray, tlo, thi, centroid,
     return left, right, axis
 
 
+def _partitioner(tlo, thi, centroid):
+    """Per-build SAH split function: the prebound native partitioner
+    when available, else the NumPy reference."""
+    from . import native
+
+    part = native.make_partitioner(tlo, thi, centroid, SAH_BINS)
+    if part is not None:
+        return part
+    return lambda idx: _sah_partition(idx, tlo, thi, centroid, 0)
+
+
 class BVH(NamedTuple):
     """Flattened skip-linked tree. All arrays device-ready (f32/i32)."""
 
@@ -138,16 +156,23 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100000))
 
-    UNSET = -2
+    _split = _partitioner(tlo, thi, centroid)
 
     def rec(idx: np.ndarray) -> int:
-        """Emit the subtree over triangles idx in DFS order; return root id."""
+        """Emit the subtree over triangles idx in DFS order; return root id.
+
+        Node bounds: leaves reduce over their (<= leaf_n) triangles;
+        inner nodes take the elementwise union of their children —
+        bit-identical to reducing over idx (min/max are exact under any
+        grouping) and O(M) instead of O(n log n) gathers."""
         nonlocal pad_cursor
         node_id = len(skip_l)
-        lo_l.append(tlo[idx].min(axis=0))
-        hi_l.append(thi[idx].max(axis=0))
-        skip_l.append(UNSET)
+        lo_l.append(None)
+        hi_l.append(None)
+        skip_l.append(0)
         if idx.size <= leaf_n:
+            lo_l[node_id] = tlo[idx].min(axis=0)
+            hi_l[node_id] = thi[idx].max(axis=0)
             first_l.append(pad_cursor)
             count_l.append(idx.size)
             leaf_runs.append(idx)
@@ -155,48 +180,59 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
         else:
             first_l.append(0)
             count_l.append(0)
-            left_idx, right_idx, _ = _sah_partition(idx, tlo, thi, centroid,
-                                                    leaf_n)
+            left_idx, right_idx, _ = _split(idx)
             left_root = rec(left_idx)
             right_root = rec(right_idx)
             assert left_root == node_id + 1
-            # Every exit inside the left subtree lands on the right subtree.
-            for i in range(left_root, right_root):
-                if skip_l[i] == UNSET:
-                    skip_l[i] = right_root
+            lo_l[node_id] = np.minimum(lo_l[left_root], lo_l[right_root])
+            hi_l[node_id] = np.maximum(hi_l[left_root], hi_l[right_root])
         return node_id
 
     root = rec(np.arange(ntri, dtype=np.int64))
     assert root == 0
-    for i, s in enumerate(skip_l):
-        if s == UNSET:
-            skip_l[i] = -1  # exits the whole tree
     sys.setrecursionlimit(old_limit)
 
+    # Skip links, vectorized: in DFS pre-order the escape index of node i
+    # is i + subtree_size(i) (same value the old per-subtree UNSET fill
+    # produced); sizes by one reverse scan over the leaf flags.
+    m = len(skip_l)
+    count_arr = np.asarray(count_l, np.int32)
+    size = np.ones(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if count_arr[i] == 0:  # inner: left child at i+1, right after it
+            size[i] = 1 + size[i + 1] + size[i + 1 + size[i + 1]]
+    skip = np.arange(m, dtype=np.int64) + size
+    skip = np.where(skip >= m, -1, skip).astype(np.int32)
+
     # Pad each leaf run to leaf_n with a degenerate triangle (zero edges ->
-    # det == 0 -> Möller–Trumbore rejects it).
+    # det == 0 -> Möller–Trumbore rejects it). Vectorized scatter of all
+    # runs at once (byte-identical to the old per-run copy loop).
     n_pad = pad_cursor
     pv0 = np.zeros((n_pad, 3), np.float32)
     pe1 = np.zeros((n_pad, 3), np.float32)
     pe2 = np.zeros((n_pad, 3), np.float32)
     pmat = np.zeros((n_pad,), np.int32)
     psrc = np.full((n_pad,), -1, np.int32)
-    cursor = 0
-    for run in leaf_runs:
-        k = run.size
-        pv0[cursor : cursor + k] = v0[run]
-        pe1[cursor : cursor + k] = v1[run] - v0[run]
-        pe2[cursor : cursor + k] = v2[run] - v0[run]
-        pmat[cursor : cursor + k] = mat[run]
-        psrc[cursor : cursor + k] = run
-        cursor += leaf_n
+    all_run = np.concatenate(leaf_runs) if leaf_runs else \
+        np.empty(0, np.int64)
+    lens = np.fromiter((r.size for r in leaf_runs), np.int64,
+                       len(leaf_runs))
+    offs = np.arange(all_run.size) - np.repeat(np.cumsum(lens) - lens,
+                                               lens)
+    dst = np.repeat(np.arange(len(leaf_runs), dtype=np.int64) * leaf_n,
+                    lens) + offs
+    pv0[dst] = v0[all_run]
+    pe1[dst] = v1[all_run] - v0[all_run]
+    pe2[dst] = v2[all_run] - v0[all_run]
+    pmat[dst] = mat[all_run]
+    psrc[dst] = all_run
 
     return BVH(
         lo=np.stack(lo_l).astype(np.float32),
         hi=np.stack(hi_l).astype(np.float32),
-        skip=np.asarray(skip_l, np.int32),
+        skip=skip,
         first=np.asarray(first_l, np.int32),
-        count=np.asarray(count_l, np.int32),
+        count=count_arr,
         tri_v0=pv0,
         tri_e1=pe1,
         tri_e2=pe2,
@@ -287,6 +323,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
 
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
+    _split = _partitioner(tlo, thi, centroid)
 
     def rec(idx: np.ndarray) -> int:
         nid = len(n_lo)
@@ -298,8 +335,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
             n_leaf[nid] = len(leaf_runs)
             leaf_runs.append(idx)
         else:
-            left_idx, right_idx, _ = _sah_partition(idx, tlo, thi,
-                                                    centroid, leaf_n)
+            left_idx, right_idx, _ = _split(idx)
             left = rec(left_idx)
             right = rec(right_idx)
             n_kids[nid] = (left, right)
@@ -494,6 +530,7 @@ def build_packet8(v0, v1, v2, mat,
 
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
+    _split = _partitioner(tlo, thi, centroid)
 
     def rec(idx: np.ndarray) -> int:
         nid = len(n_lo)
@@ -506,8 +543,7 @@ def build_packet8(v0, v1, v2, mat,
             n_leaf[nid] = len(leaf_runs)
             leaf_runs.append(idx)
         else:
-            left_idx, right_idx, _ = _sah_partition(idx, tlo, thi,
-                                                    centroid, leaf_n)
+            left_idx, right_idx, _ = _split(idx)
             left = rec(left_idx)
             right = rec(right_idx)
             n_kids[nid] = (left, right)
