@@ -326,12 +326,16 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
     _split = _partitioner(tlo, thi, centroid)
 
     def rec(idx: np.ndarray) -> int:
+        # inner-node bounds from child unions — bit-identical to
+        # reducing over idx (min/max are exact under any grouping)
         nid = len(n_lo)
-        n_lo.append(tlo[idx].min(axis=0))
-        n_hi.append(thi[idx].max(axis=0))
+        n_lo.append(None)
+        n_hi.append(None)
         n_kids.append((-1, -1))
         n_leaf.append(-1)
         if idx.size <= leaf_n:
+            n_lo[nid] = tlo[idx].min(axis=0)
+            n_hi[nid] = thi[idx].max(axis=0)
             n_leaf[nid] = len(leaf_runs)
             leaf_runs.append(idx)
         else:
@@ -339,6 +343,8 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
             left = rec(left_idx)
             right = rec(right_idx)
             n_kids[nid] = (left, right)
+            n_lo[nid] = np.minimum(n_lo[left], n_lo[right])
+            n_hi[nid] = np.maximum(n_hi[left], n_hi[right])
         return nid
 
     root = rec(np.arange(ntri, dtype=np.int64))
@@ -409,13 +415,25 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
     n_rows = len(leaf_runs)
     leaves = np.zeros((n_rows, LEAF_F, leaf_n), np.float32)
     leaves[:, 10, :] = np.full((n_rows, leaf_n), -1, np.int32).view(np.float32)
-    for row, run in enumerate(leaf_runs):
-        k = run.size
-        leaves[row, 0:3, :k] = v0[run].T
-        leaves[row, 3:6, :k] = (v1[run] - v0[run]).T
-        leaves[row, 6:9, :k] = (v2[run] - v0[run]).T
-        leaves[row, 9, :k] = mat[run].view(np.float32)
-        leaves[row, 10, :k] = run.astype(np.int32).view(np.float32)
+    # vectorized scatter of all runs at once (byte-identical to the
+    # old per-run copy loop)
+    _runs = leaf_runs
+    if _runs:
+        all_run = np.concatenate(_runs)
+        lens = np.fromiter((r.size for r in _runs), np.int64, len(_runs))
+        rows_r = np.repeat(np.arange(len(_runs), dtype=np.int64), lens)
+        offs = np.arange(all_run.size) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        ga_v0 = v0[all_run]
+        ga_e1 = v1[all_run] - ga_v0
+        ga_e2 = v2[all_run] - ga_v0
+        for k in range(3):
+            leaves[rows_r, k, offs] = ga_v0[:, k]
+            leaves[rows_r, 3 + k, offs] = ga_e1[:, k]
+            leaves[rows_r, 6 + k, offs] = ga_e2[:, k]
+        leaves[rows_r, 9, offs] = mat[all_run].view(np.float32)
+        leaves[rows_r, 10, offs] = all_run.astype(np.int32).view(
+            np.float32)
 
     # --- K-way row-span cut (multi-cursor tail) -----------------------------
     # Split the largest span at its top row: [e, mid) keeps the top row
@@ -533,13 +551,16 @@ def build_packet8(v0, v1, v2, mat,
     _split = _partitioner(tlo, thi, centroid)
 
     def rec(idx: np.ndarray) -> int:
+        # child-union bounds (bit-identical: min/max regroup exactly)
         nid = len(n_lo)
-        n_lo.append(tlo[idx].min(axis=0))
-        n_hi.append(thi[idx].max(axis=0))
+        n_lo.append(None)
+        n_hi.append(None)
         n_kids.append((-1, -1))
         n_leaf.append(-1)
         n_count.append(idx.size)
         if idx.size <= leaf_n:
+            n_lo[nid] = tlo[idx].min(axis=0)
+            n_hi[nid] = thi[idx].max(axis=0)
             n_leaf[nid] = len(leaf_runs)
             leaf_runs.append(idx)
         else:
@@ -547,6 +568,8 @@ def build_packet8(v0, v1, v2, mat,
             left = rec(left_idx)
             right = rec(right_idx)
             n_kids[nid] = (left, right)
+            n_lo[nid] = np.minimum(n_lo[left], n_lo[right])
+            n_hi[nid] = np.maximum(n_hi[left], n_hi[right])
         return nid
 
     root = rec(np.arange(ntri, dtype=np.int64))
@@ -634,14 +657,25 @@ def build_packet8(v0, v1, v2, mat,
     leaves = np.zeros((n_rows, LEAF_F, leaf_n), np.float32)
     leaves[:, 10, :] = np.full((n_rows, leaf_n), -1,
                                np.int32).view(np.float32)
-    for row, run_id in enumerate(leaf_order):
-        run = leaf_runs[run_id]
-        k = run.size
-        leaves[row, 0:3, :k] = v0[run].T
-        leaves[row, 3:6, :k] = (v1[run] - v0[run]).T
-        leaves[row, 6:9, :k] = (v2[run] - v0[run]).T
-        leaves[row, 9, :k] = mat[run].view(np.float32)
-        leaves[row, 10, :k] = run.astype(np.int32).view(np.float32)
+    # vectorized scatter of all runs at once (byte-identical to the
+    # old per-run copy loop)
+    _runs = [leaf_runs[r] for r in leaf_order]
+    if _runs:
+        all_run = np.concatenate(_runs)
+        lens = np.fromiter((r.size for r in _runs), np.int64, len(_runs))
+        rows_r = np.repeat(np.arange(len(_runs), dtype=np.int64), lens)
+        offs = np.arange(all_run.size) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        ga_v0 = v0[all_run]
+        ga_e1 = v1[all_run] - ga_v0
+        ga_e2 = v2[all_run] - ga_v0
+        for k in range(3):
+            leaves[rows_r, k, offs] = ga_v0[:, k]
+            leaves[rows_r, 3 + k, offs] = ga_e1[:, k]
+            leaves[rows_r, 6 + k, offs] = ga_e2[:, k]
+        leaves[rows_r, 9, offs] = mat[all_run].view(np.float32)
+        leaves[rows_r, 10, offs] = all_run.astype(np.int32).view(
+            np.float32)
 
     # --- K-way row-span cut (multi-cursor tail; same contract as binary:
     # every span starts at a subtree root or at a row whose preceding
