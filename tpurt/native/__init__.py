@@ -41,7 +41,9 @@ def _load():
     try:
         if (not _SO.exists()
                 or _SO.stat().st_mtime < _SRC.stat().st_mtime):
-            tmp = _DIR / "_sah.so.tmp"
+            # PID-suffixed temp + atomic rename: concurrent first-use
+            # builds (e.g. pytest workers) each publish a whole file
+            tmp = _DIR / f"_sah.so.tmp.{os.getpid()}"
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp),
                  str(_SRC)],
