@@ -35,3 +35,19 @@ def test_dryrun_multichip_never_touches_default_backend():
     )
     assert out.returncode == 0, out.stderr[-4000:]
     assert "HERMETIC_OK" in out.stdout
+
+
+def test_entry_forward_compiles_and_runs():
+    """entry()'s forward must jit and execute — the driver compile-checks
+    exactly this (a stale internal reference here once survived the rest
+    of the suite: round 3, the _trace_batch removal)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    rad, nrays = jax.jit(fn)(*args)
+    assert rad.shape == (args[2].shape[0], 3)
+    assert np.isfinite(np.asarray(rad)).all()
+    assert int(nrays) > 0
