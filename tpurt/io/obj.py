@@ -29,7 +29,25 @@ class Mesh(NamedTuple):
 def load_mesh(path: str) -> Mesh:
     """Parse v / vn / f records. face_vn is non-None only when EVERY face
     corner carries a vn index (partial vn coverage degrades to flat
-    shading — the A.5 default — rather than mixing conventions)."""
+    shading — the A.5 default — rather than mixing conventions).
+
+    The parse itself runs through the native fast path when available
+    (tpurt/native/objparse.cpp, ~10x; array-equal to this parser —
+    tests/test_native_obj.py); records the native twin cannot replicate
+    exactly fall back here wholesale, preserving error behavior."""
+    from .. import native
+
+    res = native.obj_parse(open(path, "rb").read())
+    if res is not None:
+        v64, n64, fc, fvn, all_vn = res
+        if fc.shape[0] == 0:
+            raise ValueError(f"no faces in OBJ file {path!r}")
+        if n64.shape[0] and all_vn:
+            ln = np.linalg.norm(n64, axis=-1, keepdims=True)
+            n64 = n64 / np.where(ln > 0, ln, 1.0)
+            return Mesh(v64, fc, n64, fvn)
+        return Mesh(v64, fc, None, None)
+
     verts: list[tuple[float, float, float]] = []
     norms: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
