@@ -36,26 +36,52 @@ def icosphere(subdiv: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
     for _ in range(subdiv):
-        vlist = [v for v in verts]
-        midpoint: dict[tuple[int, int], int] = {}
+        # Vectorized midpoint subdivision, BIT-IDENTICAL to the classic
+        # dict-cached loop it replaced (tests/test_meshgen.py pins it,
+        # and the golden images depend on the exact vertex order):
+        # midpoint ids are assigned in FIRST-QUERY order — faces in
+        # order, edges (a,b),(b,c),(c,a) within a face — which is
+        # exactly np.unique's first-occurrence index over the flattened
+        # edge-query sequence; the midpoint sum is commutative so the
+        # query orientation never matters.
+        nv = verts.shape[0]
+        e = np.stack(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]],
+            axis=1,
+        ).reshape(-1, 2)                       # (3F,2) in query order
+        ekey = np.sort(e, axis=1)
+        code = ekey[:, 0] << np.int64(32) | ekey[:, 1]
+        _, first_idx, inverse = np.unique(code, return_index=True,
+                                          return_inverse=True)
+        order = np.argsort(first_idx)          # unique edges, query order
+        rank = np.empty(order.size, np.int64)
+        rank[order] = np.arange(order.size)
+        mid_ids = nv + rank[inverse]           # (3F,)
 
-        def mid(a: int, b: int) -> int:
-            key = (a, b) if a < b else (b, a)
-            m = midpoint.get(key)
-            if m is None:
-                p = vlist[a] + vlist[b]
-                p = p / np.linalg.norm(p)
-                vlist.append(p)
-                m = len(vlist) - 1
-                midpoint[key] = m
-            return m
+        firsts = first_idx[order]
+        p = verts[e[firsts, 0]] + verts[e[firsts, 1]]
+        # per-row np.linalg.norm, NOT the vectorized axis norm: the 1-D
+        # norm goes through BLAS ddot (FMA) and differs by 1 ULP from
+        # every vectorized sum-of-squares on ~9% of vectors — and the
+        # golden images pin the original bits. The loop runs once per
+        # UNIQUE edge (same count as the dict version's norm calls).
+        norms = np.empty((p.shape[0], 1), np.float64)
+        _norm = np.linalg.norm
+        for i in range(p.shape[0]):
+            norms[i, 0] = _norm(p[i])
+        p = p / norms
+        verts = np.concatenate([verts, p])
 
-        new_faces = []
-        for a, b, c in faces:
-            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
-            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
-        verts = np.asarray(vlist)
-        faces = np.asarray(new_faces, np.int64)
+        m3 = mid_ids.reshape(-1, 3)            # per face: ab, bc, ca
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        ab, bc, ca = m3[:, 0], m3[:, 1], m3[:, 2]
+        faces = np.stack(
+            [np.stack([a, ab, ca], axis=1),
+             np.stack([b, bc, ab], axis=1),
+             np.stack([c, ca, bc], axis=1),
+             np.stack([ab, bc, ca], axis=1)],
+            axis=1,
+        ).reshape(-1, 3)
     return verts, faces
 
 
