@@ -98,7 +98,7 @@ def _order_pad_cached(width: int, height: int, block: int):
         # inverse permutation: tile-layout row holding pixel p is
         # inv_order[p]. Precomputed so the frame epilogue is a GATHER —
         # the former `zeros.at[order_pad[:npix]].set(...)` scatter costs
-        # ~58 ns/row on TPU (probe_scatter.py): ~53 ms per call at 4K.
+        # ~40 ns/row on TPU (probe_scatter.py): ~33 ms per call at 4K.
         inv_order = jnp.asarray(np.argsort(order).astype(np.int32))
         _order_pad_cache[k] = (order_pad, valid_pad, inv_order)
     return _order_pad_cache[k]

@@ -11,11 +11,15 @@ that holds the survivors. Shapes stay static per bucket (XLA-friendly,
 bounded recompiles: one per bucket size), while arithmetic per bounce decays
 with the live-ray population.
 
-Radiance is committed to the film with ``segment_sum`` the moment a ray dies
-(fixed ordering -> deterministic accumulation; SURVEY.md §7 hard part 4);
-per-ray math and RNG streams are identical to the megakernel, so the two
-backends are mutual oracles up to float summation order (SURVEY.md §4
-"Property" row).
+Radiance commits deterministically the moment a ray dies (SURVEY.md §7
+hard part 4). The PRODUCTION paths (trace_chunk_staged, trace_static)
+commit into a rad_out buffer in ORIGINAL queue order via packet-row
+writes through the queue's slot provenance — per-ray ``segment_sum``
+costs ~40 ns/row on TPU (benchmarks/probe_scatter.py) and survives only
+in the host-loop test oracle (trace_chunk) and the persistent mode,
+where regeneration forces it. Per-ray math and RNG streams are
+identical to the megakernel, so the two backends are mutual oracles up
+to float summation order (SURVEY.md §4 "Property" row).
 """
 
 from __future__ import annotations
