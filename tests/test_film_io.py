@@ -60,3 +60,23 @@ def test_rmse():
     a = np.zeros((4, 4, 3))
     b = np.full((4, 4, 3), 2.0)
     assert np.isclose(film.rmse(a, b), 2.0)
+
+
+def test_cli_png_output_matches_ppm(tmp_path):
+    """--out x.png writes the SAME tonemapped bytes as the PPM path,
+    PNG-encoded (PPM remains the golden/parity format)."""
+    import numpy as np
+    from PIL import Image
+
+    from tpurt import cli
+    from tpurt.io import ppm
+
+    args = ["render", "--width", "32", "--height", "16", "--spp", "1",
+            "--scene", "spheres_plane", "--mode", "primary", "--seed", "2"]
+    p_ppm = tmp_path / "a.ppm"
+    p_png = tmp_path / "a.png"
+    assert cli.main(args + ["--out", str(p_ppm)]) == 0
+    assert cli.main(args + ["--out", str(p_png)]) == 0
+    a = ppm.read(str(p_ppm))
+    b = np.asarray(Image.open(p_png))
+    assert np.array_equal(a, b)

@@ -45,7 +45,8 @@ def _build_parser(preset_names) -> argparse.ArgumentParser:
                    help="in-focus plane distance (with --aperture)")
     r.add_argument("--shard", choices=["none", "tiles", "spp"], default=None)
     r.add_argument("--ray-batch", type=int, default=None)
-    r.add_argument("--out", type=str, default=None, help="output .ppm path")
+    r.add_argument("--out", type=str, default=None,
+                   help="output image path (.ppm, or .png via PIL)")
     r.add_argument("--oracle", action="store_true",
                    help="render with the NumPy cpu_ref instead of JAX")
     r.add_argument("--json-metrics", type=str, default=None)
@@ -123,7 +124,14 @@ def main(argv=None) -> int:
     if args.out:
         from . import film as film_mod
         from .io import ppm
-        ppm.write(args.out, film_mod.tonemap(film))
+        rgb8 = film_mod.tonemap(film)
+        if args.out.lower().endswith(".png"):
+            # same tonemapped bytes as the PPM path, PNG-encoded (PIL is
+            # in the image; PPM stays the parity/golden format)
+            from PIL import Image
+            Image.fromarray(rgb8).save(args.out)
+        else:
+            ppm.write(args.out, rgb8)
         stats["out"] = args.out
 
     print(json.dumps(stats))
