@@ -22,10 +22,9 @@ def main() -> None:
 
     from tpurt import config, render
 
-    cfg = config.RenderConfig(
-        width=1280, height=720, spp=128, scene="blob", mesh_subdiv=6,
-        mode="mega", max_depth=8, seed=0,
-    )
+    # the c3-mesh contract preset itself (one source of truth — round-3
+    # VERDICT weak #6): 1280x720, blob subdiv-6, mega, depth 8, seed 0
+    cfg = config.PRESETS["c3-mesh"]
     scene, cam = config.build_scene(cfg)
     scene = scene.device()
 

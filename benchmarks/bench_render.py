@@ -28,42 +28,42 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RESULTS = Path(__file__).resolve().parent / "results"
 
-# Reduced-size bench variants: same scenes/mode/physics as the presets,
-# smaller sample budgets so a full sweep stays minutes, not hours.
-BENCH_CONFIGS = {
+# Bench variants are the contract presets (config.PRESETS — ONE source of
+# truth, round-3 VERDICT weak #6) with only the sample budget reduced so a
+# full sweep stays minutes, not hours. Geometry/depth/mode can therefore
+# never silently drift from the contract.
+BENCH_SPP = {
     # c1 at 32 spp (round-3 VERDICT item 9): at 4 spp the 1.2M-ray run
     # finished in ~0.1 s — one dispatch+fetch floor, not compute. 32 spp
     # amortizes the dispatch so Mrays/s means throughput.
-    "c1-primary": dict(width=640, height=480, spp=32, scene="spheres_plane",
-                       mode="primary"),
-    "c2-cornell": dict(width=512, height=512, spp=8, scene="cornell",
-                       mode="mega", max_depth=8),
-    "c3-mesh": dict(width=1280, height=720, spp=4, scene="blob",
-                    mesh_subdiv=6, mode="mega", max_depth=8),
-    "c4-wavefront": dict(width=1920, height=1080, spp=2, scene="blob",
-                         mesh_subdiv=6, mode="wavefront", max_depth=16,
-                         rr_start=3),
+    "c1-primary": 32,
+    "c2-cornell": 8,
+    "c3-mesh": 4,
+    "c4-wavefront": 2,
     # config 5 at bench scale: full 4K frame, reduced spp, tile-sharded
     # over whatever mesh exists (the 1-chip TPU mesh here; the fake
     # 8-device CPU mesh in tests)
-    "c5-multichip": dict(width=3840, height=2160, spp=2, scene="blob",
-                         mesh_subdiv=6, mode="mega", max_depth=16,
-                         rr_start=3, shard="tiles"),
+    "c5-multichip": 2,
 }
+BENCH_CONFIGS = list(BENCH_SPP)  # names, preset-ordered
 HEADLINE = "c3-mesh"  # the north-star scene (BVH triangle mesh)
+
+
+def bench_config(name: str):
+    from tpurt import config
+
+    return config.PRESETS[name].replace(spp=BENCH_SPP[name], seed=0)
 
 # RMSE probe: same scene/physics at a fixed small frame so the NumPy
 # oracle finishes in seconds; records parity for every bench config.
 RMSE_W, RMSE_H, RMSE_SPP = 96, 54, 2
 
 
-def rmse_vs_oracle(kw: dict) -> float:
+def rmse_vs_oracle(cfg) -> float:
     from tpurt import config, cpu_ref, film as film_mod, mesh, render
 
-    cfg = config.RenderConfig(seed=0, **kw).replace(
-        width=RMSE_W, height=RMSE_H,
-        spp=min(RMSE_SPP, kw.get("spp", RMSE_SPP)),
-    )
+    cfg = cfg.replace(width=RMSE_W, height=RMSE_H,
+                      spp=min(RMSE_SPP, cfg.spp))
     scene, cam = config.build_scene(cfg)
     if cfg.shard != "none":
         f_dev, _ = mesh.render_sharded(cfg, scene, cam)
@@ -73,22 +73,23 @@ def rmse_vs_oracle(kw: dict) -> float:
     return float(film_mod.rmse(f_dev, f_ref))
 
 
-def run_one(name: str, kw: dict, with_rmse: bool = True) -> dict:
+def run_one(name: str, with_rmse: bool = True, retry: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from tpurt import config, mesh, render
 
-    cfg = config.RenderConfig(seed=0, **kw)
+    cfg = bench_config(name)
     scene, cam = config.build_scene(cfg)
 
-    # Timing protocol (round-3 VERDICT item 8): wall times through the
-    # axon relay vary +-35% run to run, so the BEST of REPS passes is the
-    # device-speed estimate (recorded as mrays_per_s, the headline) and
-    # the MEDIAN of the same passes is the noise-robust gate statistic
-    # (recorded as mrays_median; see gate_failures).
-    REPS = 5
+    # Timing protocol: wall times through the axon relay vary +-35% run
+    # to run and are ONE-SIDED (the relay only ever adds time), so the
+    # BEST of REPS passes is the device-speed estimate AND the gate
+    # statistic (see gate_failures); the MEDIAN is recorded alongside.
+    # c5's rep walls are documented bimodal (9.7/12/15.6 s modes) — it
+    # gets extra reps so best-of reliably samples the fast mode.
+    REPS = 7 if name == "c5-multichip" else 5
     walls: list[float] = []
     if cfg.shard != "none":
         m = mesh.make_mesh()
@@ -133,10 +134,12 @@ def run_one(name: str, kw: dict, with_rmse: bool = True) -> dict:
         "wall_median_s": round(wall_median, 3),
         "mrays_median": round(stats["mrays_per_s"] * wall / wall_median, 3),
         "devices": devices,
-        "config": kw,
+        "config": {"preset": name, "spp": cfg.spp},
     }
+    if retry:
+        rec["retry"] = True
     if with_rmse:
-        rec["rmse_vs_oracle"] = round(rmse_vs_oracle(kw), 6)
+        rec["rmse_vs_oracle"] = round(rmse_vs_oracle(cfg), 6)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -148,17 +151,26 @@ GATE_WINDOW = 5
 def gate_failures(records: list[dict], history: list[dict],
                   margin: float = GATE_MARGIN,
                   window: int = GATE_WINDOW) -> list[str]:
-    """Noise-robust regression gate (round-3 VERDICT item 8).
+    """Noise-robust regression gate (round-4 revision; round-3 VERDICT
+    weak #2).
 
-    The round-2 gate compared best-of-3 wall against the ALL-TIME best
-    with a 10% margin — through a relay whose wall times vary +-35% that
-    tripped on pure noise mid-round (the 1786940609 sweep). This gate
-    compares each record's MEDIAN-of-REPS throughput (``mrays_median``;
-    best-of falls back for pre-round-3 records) against the median of the
-    last `window` prior records on the same backend, requiring
-    `margin` * reference. Median-vs-median cancels the relay's one-sided
-    outliers on both ends; a genuine 20% slowdown still trips
-    (0.8 < 0.85), which tests/test_bench_gate.py asserts synthetically.
+    History of the statistic choice:
+      * round 2: best-of-3 vs ALL-TIME best, 10% margin — tripped on pure
+        relay noise (the reference was itself a lucky outlier).
+      * round 3: median-of-reps vs recent-median — fixed that, but c5's
+        rep walls are BIMODAL through the relay (9.7/12/15.6 s modes, 60%
+        apart, RMSE identical): a sweep whose 5 reps all miss the fast
+        mode medians low and false-trips (the round-3 FINAL sweep did).
+      * round 4 (this): the relay's noise is ONE-SIDED — it only ever adds
+        wall time, so BEST-of-reps is a consistent estimator of device
+        speed. The gate compares each record's best (``mrays_per_s``)
+        against the MEDIAN of the last `window` prior bests on the same
+        backend (window-median, never all-time, keeps round 2's failure
+        fixed). A genuine 20% slowdown slows every rep including the best,
+        so it still trips (0.8 < 0.85); a bimodal sweep only fails when
+        ALL reps miss the fast mode, which extra c5 reps + the automatic
+        solo retry in main() (see run_gate_with_retry) make vanishingly
+        rare — asserted statistically in tests/test_bench_gate.py.
 
     Returns a list of human-readable failure strings (empty = pass).
     """
@@ -168,17 +180,39 @@ def gate_failures(records: list[dict], history: list[dict],
                  if h["name"] == rec["name"]
                  and h["backend"] == rec["backend"]
                  and h["ts"] < rec["ts"]]
-        vals = [h.get("mrays_median", h["mrays_per_s"])
-                for h in prior[-window:]]
+        vals = [h["mrays_per_s"] for h in prior[-window:]]
         if not vals:
             continue
         ref = sorted(vals)[len(vals) // 2]
-        now = rec.get("mrays_median", rec["mrays_per_s"])
+        now = rec["mrays_per_s"]
         if now < margin * ref:
             fails.append(
-                f"REGRESSION: {rec['name']} median {now} < "
-                f"{margin} * recent-median {ref}")
+                f"REGRESSION: {rec['name']} best {now} < "
+                f"{margin} * recent-median-of-bests {ref}")
     return fails
+
+
+def run_gate_with_retry(records, history, run_fn,
+                        margin: float = GATE_MARGIN,
+                        window: int = GATE_WINDOW):
+    """Gate with ONE automatic solo re-run per failing config — the exact
+    procedure round 3 applied by hand to clear the c5 false trip ("re-run
+    solo before believing one", CLAUDE.md). A fresh solo record whose best
+    clears the gate supersedes the tripped sweep record (both go to
+    history; the retry is flagged). A retry that STILL fails is a real
+    regression.
+
+    run_fn(name) -> record. Returns (extra_records, fails).
+    """
+    extra, remaining = [], []
+    for rec in records:
+        if not gate_failures([rec], history, margin, window):
+            continue
+        retry_rec = run_fn(rec["name"])
+        extra.append(retry_rec)
+        remaining.extend(gate_failures([retry_rec], history + [retry_rec],
+                                       margin, window))
+    return extra, remaining
 
 
 def main() -> int:
@@ -195,19 +229,23 @@ def main() -> int:
     args = ap.parse_args()
 
     names = ([HEADLINE] if args.quick else
-             args.configs or list(BENCH_CONFIGS))
+             args.configs or BENCH_CONFIGS)
     RESULTS.mkdir(parents=True, exist_ok=True)
     hist_path = RESULTS / "history.jsonl"
 
-    records = [run_one(n, BENCH_CONFIGS[n], with_rmse=args.rmse)
-               for n in names]
+    records = [run_one(n, with_rmse=args.rmse) for n in names]
     with open(hist_path, "a") as f:
         for r in records:
             f.write(json.dumps(r) + "\n")
 
     if args.check:
         history = [json.loads(line) for line in open(hist_path)]
-        fails = gate_failures(records, history)
+        extra, fails = run_gate_with_retry(
+            records, history,
+            lambda n: run_one(n, with_rmse=args.rmse, retry=True))
+        with open(hist_path, "a") as f:
+            for r in extra:
+                f.write(json.dumps(r) + "\n")
         for f_ in fails:
             print(f_, file=sys.stderr)
         if fails:

@@ -65,7 +65,10 @@ N = 131072
 def main() -> None:
     cfg = config.RenderConfig(width=1280, height=720, spp=4, scene="blob",
                               mesh_subdiv=6, mode="mega", max_depth=8)
+    traverse.WIDE_ENABLE = True   # pk8 is built lazily, only when
+    # the flag is set at BUILD time (round-4: no eager pk8 build)
     scene, cam = config.build_scene(cfg)
+    traverse.WIDE_ENABLE = False
     scene = scene.device()
     scene_bin = scene._replace(pk8_nodes=None, pk8_leaves=None,
                                pk8_cut=None)

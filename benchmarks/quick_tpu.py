@@ -16,7 +16,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench_render import BENCH_CONFIGS  # noqa: E402
+from bench_render import bench_config  # noqa: E402
 
 
 def main() -> None:
@@ -28,8 +28,7 @@ def main() -> None:
 
     names = sys.argv[1:] or ["c3-mesh"]
     for name in names:
-        kw = BENCH_CONFIGS[name]
-        cfg = config.RenderConfig(seed=0, **kw)
+        cfg = bench_config(name)
         scene, cam = config.build_scene(cfg)
         if cfg.shard != "none":
             m = mesh.make_mesh()

@@ -102,15 +102,15 @@ def test_wide_traversal_matches_binary(micro_mesh):
     from tpurt.kernels import traverse
 
     v, f = micro_mesh
-    sc, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
-    sc = sc.device()
-    assert sc.pk8_nodes is not None
-    o, d = _rand_rays(1024)
-    t_max = jnp.full(o.shape[0], geometry.INF)
-
+    # pk8 is built lazily, only when WIDE_ENABLE is set at BUILD time
     old = traverse.WIDE_ENABLE
     try:
         traverse.WIDE_ENABLE = True
+        sc, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+        sc = sc.device()
+        assert sc.pk8_nodes is not None
+        o, d = _rand_rays(1024)
+        t_max = jnp.full(o.shape[0], geometry.INF)
         wide = traverse.packet_nearest_tri(sc, o, d, t_max)
     finally:
         traverse.WIDE_ENABLE = old

@@ -11,15 +11,9 @@ from tpurt import bvh, native
 
 
 def _numpy_partition(idx, tlo, thi, centroid):
-    """Call the checked-in NumPy implementation with the native path
-    forced off (it is the reference the port is pinned against)."""
-    os.environ["TPURT_NATIVE"] = "0"
-    native._tried, native._lib = True, None
-    try:
-        return bvh._sah_partition(idx, tlo, thi, centroid, bvh.LEAF_N)
-    finally:
-        del os.environ["TPURT_NATIVE"]
-        native._tried = False
+    """Call the checked-in NumPy implementation directly (it is the
+    reference the port is pinned against)."""
+    return bvh._sah_partition(idx, tlo, thi, centroid)
 
 
 def _soups(rs):
@@ -72,18 +66,31 @@ def test_native_build_arrays_bit_identical():
     three builders must be byte-identical with the native split on and
     off (this is what keeps the golden images valid)."""
     from tpurt import config
+    from tpurt.kernels import traverse
 
     cfg = config.RenderConfig(width=8, height=8, spp=1, scene="blob",
                               mesh_subdiv=3)
-    scene_nat, _ = config.build_scene(cfg)
-
-    os.environ["TPURT_NATIVE"] = "0"
-    native._tried, native._lib = True, None
+    # cover the pk8 layout too (built only when WIDE_ENABLE asks)
+    old_wide = traverse.WIDE_ENABLE
+    traverse.WIDE_ENABLE = True
     try:
-        scene_np, _ = config.build_scene(cfg)
+        scene_nat, _ = config.build_scene(cfg)
+        assert scene_nat.pk8_nodes is not None
+
+        # force the NumPy fallback for the second build: TPURT_NATIVE=0
+        # is only consulted at load time, so the cached lib must be
+        # dropped BOTH ways (the round-3 ADVICE found the old _tried/_lib
+        # poke left the native path live and made this test vacuous)
+        os.environ["TPURT_NATIVE"] = "0"
+        native._libs.clear()
+        try:
+            assert not native.available("sah")
+            scene_np, _ = config.build_scene(cfg)
+        finally:
+            del os.environ["TPURT_NATIVE"]
+            native._libs.clear()
     finally:
-        del os.environ["TPURT_NATIVE"]
-        native._tried = False
+        traverse.WIDE_ENABLE = old_wide
 
     for name in ("bvh_lo", "bvh_hi", "bvh_skip", "bvh_first", "bvh_count",
                  "tri_v0", "tri_e1", "tri_e2", "tri_mat", "tri_src",

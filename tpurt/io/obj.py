@@ -37,7 +37,10 @@ def load_mesh(path: str) -> Mesh:
     exactly fall back here wholesale, preserving error behavior."""
     from .. import native
 
-    res = native.obj_parse(open(path, "rb").read())
+    res = None
+    if native.available("objparse"):
+        with open(path, "rb") as fh:
+            res = native.obj_parse(fh.read())
     if res is not None:
         v64, n64, fc, fvn, all_vn = res
         if fc.shape[0] == 0:

@@ -78,7 +78,10 @@ long long sah_partition(const float* tlo, const float* thi,
     std::vector<long long> counts(B);
 
     for (int axis = 0; axis < 3; ++axis) {
-        if (!((double)ext[axis] >= 1e-12)) continue;  // np: ext < 1e-12 skip
+        // np predicate mirrored exactly: skip only when ext < 1e-12 —
+        // NaN compares false on BOTH sides there, so NaN extents stay on
+        // the non-skip branch just like NumPy (round-3 ADVICE).
+        if ((double)ext[axis] < 1e-12) continue;
         std::fill(blo.begin(), blo.end(), INF);
         std::fill(bhi.begin(), bhi.end(), -INF);
         std::fill(counts.begin(), counts.end(), 0LL);

@@ -223,8 +223,18 @@ class SceneBuilder:
         if use_bvh:
             pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
             pk_nodes, pk_leaves, pk_cut = pk.nodes, pk.leaves, pk.cut
-            pk8 = bvh_mod.build_packet8(tv0, tv1, tv2, tm)
-            pk8_nodes, pk8_leaves, pk8_cut = pk8.nodes, pk8.leaves, pk8.cut
+            # The wide (8-ary) layout is a refuted production path
+            # (kernels.traverse.WIDE_ENABLE, benchmarks/probe_fanout.py):
+            # building it eagerly was a third full SAH recursion plus an
+            # (Mw,64) HBM upload per scene for arrays the traversal never
+            # reads (round-3 VERDICT weak #4). Built only when the flag
+            # asks for it; probes that flip WIDE_ENABLE set it BEFORE
+            # building their scene.
+            from .kernels import traverse as _traverse
+            if _traverse.WIDE_ENABLE:
+                pk8 = bvh_mod.build_packet8(tv0, tv1, tv2, tm)
+                pk8_nodes, pk8_leaves, pk8_cut = (
+                    pk8.nodes, pk8.leaves, pk8.cut)
             tree = bvh_mod.build(tv0, tv1, tv2, tm)
             # the BVH's leaf-padded soup replaces the raw soup so brute and
             # BVH paths intersect identical triangle tables
