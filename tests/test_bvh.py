@@ -126,6 +126,86 @@ def test_wide_traversal_matches_binary(micro_mesh):
     assert np.array_equal(n8[f2], n2[f2])
 
 
+def test_wide4_traversal_matches_binary(micro_mesh):
+    """Fanout-4 wide layout (build_packet8(fanout=4), round-4): exact
+    agreement with the binary packet traversal, same contract as the
+    fanout-8 test."""
+    from tpurt.kernels import traverse
+
+    v, f = micro_mesh
+    sc, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+    v0, v1, v2, _ = _soup(micro_mesh)
+    # mesh_scene assigns the mesh its body material (id 1) — the pk4
+    # leaf rows must carry the same ids for the mat winner comparison
+    pk4 = bvh.build_packet8(v0, v1, v2,
+                            np.ones(v0.shape[0], np.int32), fanout=4)
+    assert pk4.nodes.shape[1] == 32
+    sc4 = sc._replace(pk8_nodes=pk4.nodes, pk8_leaves=pk4.leaves,
+                      pk8_cut=pk4.cut).device()
+    o, d = _rand_rays(1024)
+    t_max = jnp.full(o.shape[0], geometry.INF)
+
+    old = traverse.WIDE_ENABLE
+    try:
+        traverse.WIDE_ENABLE = True
+        wide = traverse.packet_nearest_tri(sc4, o, d, t_max)
+    finally:
+        traverse.WIDE_ENABLE = old
+    sc_bin = sc4._replace(pk8_nodes=None, pk8_leaves=None, pk8_cut=None)
+    binry = traverse.packet_nearest_tri(sc_bin, o, d, t_max)
+
+    t4, n4, m4, f4, g4 = (np.asarray(x) for x in wide)
+    t2, n2, m2, f2, g2 = (np.asarray(x) for x in binry)
+    assert np.array_equal(f4, f2)
+    assert np.array_equal(t4[f2], t2[f2])
+    assert np.array_equal(g4[f2], g2[f2])
+    assert np.array_equal(m4[f2], m2[f2])
+    assert np.array_equal(n4[f2], n2[f2])
+
+
+def test_presplit_traversal_matches_plain(micro_mesh):
+    """Spatial-split references (bvh.presplit_refs) change only the tree
+    SHAPE: packet traversal over a presplit build must return the exact
+    same winners (found/t/gid/mat/normal) as the plain build — duplicated
+    references resolve to the identical triangle row, and the strict
+    t < t_best keeps the first instance."""
+    from tpurt.kernels import traverse
+
+    v, f = micro_mesh
+    v = np.asarray(v, np.float64).copy()
+    # stretch a few triangles into large slivers so the pass actually
+    # splits something (uniform meshes mostly skip it)
+    v[0] += np.array([4.0, 0.02, 0.01])
+    v[5] += np.array([0.01, 4.0, 0.02])
+    sc_plain, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+
+    old = bvh.PRESPLIT_ALPHA
+    bvh.PRESPLIT_ALPHA = 1.0
+    try:
+        sc_split, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+    finally:
+        bvh.PRESPLIT_ALPHA = old
+    # the pass must have actually duplicated references
+    assert sc_split.pk_leaves.shape[0] >= sc_plain.pk_leaves.shape[0]
+
+    rs = np.random.RandomState(7)
+    o = jnp.asarray(rs.uniform(-3, 3, (1024, 3)).astype(np.float32))
+    dirs = rs.normal(size=(1024, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = jnp.asarray(dirs)
+    t_max = jnp.full(1024, geometry.INF)
+
+    a = traverse.packet_nearest_tri(sc_plain.device(), o, d, t_max)
+    b = traverse.packet_nearest_tri(sc_split.device(), o, d, t_max)
+    ta, na, ma, fa, ga = (np.asarray(x) for x in a)
+    tb, nb, mb, fb, gb = (np.asarray(x) for x in b)
+    assert np.array_equal(fa, fb)
+    assert np.array_equal(ta[fa], tb[fa])
+    assert np.array_equal(ga[fa], gb[fa])
+    assert np.array_equal(ma[fa], mb[fa])
+    assert np.array_equal(na[fa], nb[fa])
+
+
 def test_wide_single_leaf_tree():
     """Degenerate wide tree over <= PACKET_LEAF_N triangles: one row whose
     child 0 is the only leaf, empty slots meta -1."""

@@ -420,8 +420,22 @@ class PacketBVH(NamedTuple):
     cut: np.ndarray      # (8, 2) int32
 
 
-def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
-    """Build the CIP packet layout (binned-SAH topology)."""
+def _uniq_keep_order(a: np.ndarray) -> np.ndarray:
+    """First occurrence of each value, original order (leaf dedup for
+    spatial-split reference runs; identity when a has no duplicates)."""
+    _, first = np.unique(a, return_index=True)
+    return a[np.sort(first)]
+
+
+def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
+                 presplit: float = None) -> PacketBVH:
+    """Build the CIP packet layout (binned-SAH topology).
+
+    presplit > 0 runs the spatial-split reference pre-pass (SBVH-style,
+    see presplit_refs): the SAH recursion then partitions clipped-box
+    REFERENCES and leaves store the deduped original triangles. With
+    presplit = 0 (the default via PRESPLIT_ALPHA) every step below is
+    bit-identical to the round-3 builder."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -429,7 +443,16 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
     ntri = v0.shape[0]
     tlo = np.minimum(np.minimum(v0, v1), v2)
     thi = np.maximum(np.maximum(v0, v1), v2)
-    centroid = (tlo + thi) * 0.5
+
+    alpha = PRESPLIT_ALPHA if presplit is None else presplit
+    if alpha > 0:
+        rlo, rhi, rtri = presplit_refs(v0, v1, v2, alpha)
+        dedup = _uniq_keep_order
+    else:
+        rlo, rhi = tlo, thi
+        rtri = np.arange(ntri, dtype=np.int64)
+        dedup = None  # identity refs: runs can have no duplicates
+    centroid = (rlo + rhi) * 0.5
 
     # --- topology (one recursive build) -----------------------------------
     n_lo: list = []
@@ -440,7 +463,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
 
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
-    _split = _partitioner(tlo, thi, centroid)
+    _split = _partitioner(rlo, rhi, centroid)
 
     def rec(idx: np.ndarray) -> int:
         # inner-node bounds from child unions — bit-identical to
@@ -451,10 +474,11 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
         n_kids.append((-1, -1))
         n_leaf.append(-1)
         if idx.size <= leaf_n:
-            n_lo[nid] = tlo[idx].min(axis=0)
-            n_hi[nid] = thi[idx].max(axis=0)
+            n_lo[nid] = rlo[idx].min(axis=0)
+            n_hi[nid] = rhi[idx].max(axis=0)
             n_leaf[nid] = len(leaf_runs)
-            leaf_runs.append(idx)
+            run = rtri[idx] if dedup is None else dedup(rtri[idx])
+            leaf_runs.append(run)
         else:
             left_idx, right_idx, _ = _split(idx)
             left = rec(left_idx)
@@ -464,7 +488,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N) -> PacketBVH:
             n_hi[nid] = np.maximum(n_hi[left], n_hi[right])
         return nid
 
-    root = rec(np.arange(ntri, dtype=np.int64))
+    root = rec(np.arange(rtri.size, dtype=np.int64))
 
     # --- CIP inner-row emission (DFS) --------------------------------------
     # A single-leaf tree has no inner rows; emit a degenerate root row
@@ -644,8 +668,18 @@ class PacketBVH8(NamedTuple):
 
 
 def build_packet8(v0, v1, v2, mat,
-                  leaf_n: int = PACKET_LEAF_N) -> PacketBVH8:
-    """Build the wide-fanout CIP layout (binned-SAH topology collapsed)."""
+                  leaf_n: int = PACKET_LEAF_N,
+                  fanout: int = WIDE_FANOUT) -> PacketBVH8:
+    """Build the wide-fanout CIP layout (binned-SAH topology collapsed).
+
+    fanout: children per wide node (8 = the round-3 layout; 4 = the
+    round-4 "grandchildren" point: each visit tests the four boxes TWO
+    binary levels down — the same box-test volume as two binary steps
+    with HALF the serial gather->reduce->select links; see
+    benchmarks/probe_fanout4.py). Row width is 8*fanout f32 slots:
+    boxes component-major in 6*fanout, metas at 6F..7F, skip at 7F,
+    leaf_base at 7F+1, rest pad. The traversal infers fanout from the
+    row width (kernels/traverse.py)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -694,7 +728,7 @@ def build_packet8(v0, v1, v2, mat,
     # --- greedy 3-level collapse + wide DFS emission -----------------------
     def children_of(nid: int) -> list[int]:
         kids = list(n_kids[nid])
-        while len(kids) < WIDE_FANOUT:
+        while len(kids) < fanout:
             inner = [(n_count[k], i) for i, k in enumerate(kids)
                      if n_leaf[k] < 0]
             if not inner:
@@ -714,9 +748,9 @@ def build_packet8(v0, v1, v2, mat,
         row_meta.append(None)
         row_boxes.append(None)
         row_base.append(0)
-        lo = np.zeros((WIDE_FANOUT, 3), np.float32)
-        hi = np.zeros((WIDE_FANOUT, 3), np.float32)
-        meta = [-1] * WIDE_FANOUT
+        lo = np.zeros((fanout, 3), np.float32)
+        hi = np.zeros((fanout, 3), np.float32)
+        meta = [-1] * fanout
         base = len(leaf_order)
         rank = 0
         for i, k in enumerate(kids):
@@ -740,11 +774,11 @@ def build_packet8(v0, v1, v2, mat,
         mw = len(row_meta)
     else:
         # single-leaf tree: one degenerate row, child 0 = the leaf
-        lo = np.zeros((WIDE_FANOUT, 3), np.float32)
-        hi = np.zeros((WIDE_FANOUT, 3), np.float32)
+        lo = np.zeros((fanout, 3), np.float32)
+        hi = np.zeros((fanout, 3), np.float32)
         lo[0], hi[0] = n_lo[root], n_hi[root]
         row_boxes.append((lo, hi))
-        row_meta.append([1] + [-1] * (WIDE_FANOUT - 1))
+        row_meta.append([1] + [-1] * (fanout - 1))
         row_base.append(0)
         leaf_order.append(n_leaf[root])
         mw = 1
@@ -759,15 +793,16 @@ def build_packet8(v0, v1, v2, mat,
     skip = np.arange(mw, dtype=np.int64) + size
     skip = np.where(skip >= mw, -1, skip).astype(np.int32)
 
-    nodes = np.zeros((mw, WIDE_F), np.float32)
+    F = fanout
+    nodes = np.zeros((mw, 8 * F), np.float32)
     for row in range(mw):
         lo, hi = row_boxes[row]
         for c in range(3):
-            nodes[row, c * 8:(c + 1) * 8] = lo[:, c]
-            nodes[row, 24 + c * 8:24 + (c + 1) * 8] = hi[:, c]
-    nodes[:, 48:56] = np.asarray(row_meta, np.int32).view(np.float32)
-    nodes[:, 56] = skip.view(np.float32)
-    nodes[:, 57] = np.asarray(row_base, np.int32).view(np.float32)
+            nodes[row, c * F:(c + 1) * F] = lo[:, c]
+            nodes[row, 3 * F + c * F:3 * F + (c + 1) * F] = hi[:, c]
+    nodes[:, 6 * F:7 * F] = np.asarray(row_meta, np.int32).view(np.float32)
+    nodes[:, 7 * F] = skip.view(np.float32)
+    nodes[:, 7 * F + 1] = np.asarray(row_base, np.int32).view(np.float32)
 
     # --- packed leaf rows in wide order ------------------------------------
     n_rows = len(leaf_order)

@@ -117,6 +117,9 @@ ADV_TAIL = 8    # stages with pp <= DRAIN4_MAX
 # binary levels, so fewer steps sustain the same leaf-enqueue rate.
 # Tuned round 3 on the c3 bounce-1 workload (benchmarks/probe_fanout.py).
 ADV_STEPS_WIDE = 3
+# node steps per round over the 4-ary layout (each step = 2 binary
+# levels; benchmarks/probe_fanout4.py tunes this)
+ADV_STEPS_WIDE4 = 5
 # Production switch for the wide layout — see the selection comment in
 # packet_nearest_tri (measured slower under the current round regime).
 WIDE_ENABLE = False
@@ -255,21 +258,46 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     cut = scene.pk8_cut if wide else scene.pk_cut
     n_total = nodes.shape[0]
     use_mc = cut is not None
-    adv_steps = ADV_STEPS_WIDE if wide else ADV_STEPS
+    adv_steps = ADV_STEPS if not wide else (
+        ADV_STEPS_WIDE if nodes.shape[1] == 64 else ADV_STEPS_WIDE4)
 
     def node_fields(nid):
-        rows = nodes[nid]                          # (P, 16)
-        m_l = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
-        m_r = jax.lax.bitcast_convert_type(rows[:, 13], jnp.int32)
-        skip = jax.lax.bitcast_convert_type(rows[:, 14], jnp.int32)
-        return rows, m_l, m_r, skip
+        # promise_in_bounds: nid is clamped by the caller already; the
+        # default gather mode's clamp was a WHOLE standalone kernel per
+        # adv step (round-4 HLO dump: maximum_clamp_fusion, 8/round).
+        # Meta columns come back as (P,) f32 VALUES and are bitcast at
+        # the use sites: the bitcasts/eq on column slices formed two more
+        # standalone kernels per step when done here (the column extract
+        # is the layout-forced kernel; a (P,) bitcast is free inside any
+        # consumer fusion).
+        rows = nodes.at[nid].get(mode="promise_in_bounds")   # (P, 16)
 
-    def slab_any2(rows, t_best, oxs, ixs):
+        def icol(c):
+            return jax.lax.bitcast_convert_type(rows[:, c], jnp.int32)
+
+        return rows, icol
+
+    def slab_any2(rows, t_best, oxs, ixs, extra_bits=None):
         """Per-lane slab test of BOTH child boxes, reduced over lanes in
         ONE fused reduction (a serialized lane-reduce link costs ~2-4 us,
-        probe_lanereduce.py — two separate anys were two links)."""
-        hits = []
-        for off in (0, 6):
+        probe_lanereduce.py — two separate anys were two links).
+
+        Round-4 fusion surgery: the two hit masks are packed into ONE
+        (P, R) int32 hitcode (bit0 = left, bit1 = right) and reduced with
+        a single bitwise-or lane reduction to (P,). The round-3 form
+        (stack to (P, 2, R), reduce_or, then slice h_l/h_r back out) cost
+        two EXTRA kernels per adv step on TPU: the pad/concatenate into
+        (P, 2, R) and the (P, 2) -> 2x(P,) retile slice (HLO dump,
+        benchmarks/dump_hlo.py). The bit tests on the reduced (P,) code
+        are free — they fuse into the step epilogue.
+
+        extra_bits: optional (P,) int32 constant-per-packet bits OR'd
+        into every lane before the reduce, so they pass through to the
+        output code for free — adv_step rides the two leaf flags (bits
+        2-3) through here, which deleted the standalone per-step `eq`
+        kernel the flags otherwise cost."""
+        code = None
+        for bit, off in ((1, 0), (2, 6)):
             tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
             tf = t_best
             for k in range(3):
@@ -277,26 +305,37 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 t1 = (rows[:, off + k + 3, None] - oxs[k]) * ixs[k]
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            hits.append(tn <= tf)
-        both = jnp.any(jnp.stack(hits, axis=1), axis=-1)   # (P, 2)
-        return both[:, 0], both[:, 1]
+            c = jnp.where(tn <= tf, jnp.int32(bit), jnp.int32(0))
+            code = c if code is None else code | c
+        if extra_bits is not None:
+            code = code | extra_bits[:, None]
+        code = jax.lax.reduce(code, jnp.int32(0), jax.lax.bitwise_or,
+                              (1,))                          # (P,)
+        return code
 
-    def slab_any8(rows, t_best, oxs, ixs):
-        """Per-lane slab test of all EIGHT child boxes of a wide row
-        (component-major: lo_c at slot c*8+k, hi_c at 24+c*8+k for child
-        k), reduced over lanes in ONE fused (P,8,R)->(P,8) reduction —
-        the same single-link discipline as slab_any2."""
-        hits = []
-        for k in range(8):
+    def slab_anyw(rows, t_best, oxs, ixs, fan, extra_bits=None):
+        """Per-lane slab test of all `fan` child boxes of a wide row
+        (component-major: lo_c at slot c*F+k, hi_c at 3F+c*F+k for child
+        k), packed into ONE (P, R) int32 hitmask (bit k = child k) and
+        reduced with a single bitwise-or lane reduction — the same
+        single-link + single-output-code discipline as slab_any2, so the
+        bit tests downstream fuse into the step epilogue. extra_bits
+        (bits fan..) ride through the reduce for free."""
+        code = None
+        for k in range(fan):
             tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
             tf = t_best
             for c in range(3):
-                t0 = (rows[:, c * 8 + k, None] - oxs[c]) * ixs[c]
-                t1 = (rows[:, 24 + c * 8 + k, None] - oxs[c]) * ixs[c]
+                t0 = (rows[:, c * fan + k, None] - oxs[c]) * ixs[c]
+                t1 = (rows[:, (3 + c) * fan + k, None] - oxs[c]) * ixs[c]
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            hits.append(tn <= tf)
-        return jnp.any(jnp.stack(hits, axis=1), axis=-1)   # (P, 8)
+            c_k = jnp.where(tn <= tf, jnp.int32(1 << k), jnp.int32(0))
+            code = c_k if code is None else code | c_k
+        if extra_bits is not None:
+            code = code | extra_bits[:, None]
+        return jax.lax.reduce(code, jnp.int32(0), jax.lax.bitwise_or,
+                              (1,))                          # (P,)
 
     def make_outer():
         """Round body over the (possibly virtual, see mc_wide) packet
@@ -326,12 +365,14 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             def adv_step(nd, banks, qh, qt):
                 cnt = qt - qh
                 act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
-                rows, m_l, m_r, skip = node_fields(jnp.maximum(nd, 0))
-                h_l, h_r = slab_any2(rows, t_best, oxs, ixs)
-                hit_l = h_l & act
-                hit_r = h_r & act
-                leaf_l = (m_l & 1) == 1
-                leaf_r = (m_r & 1) == 1
+                rows, icol = node_fields(jnp.maximum(nd, 0))
+                m_l, m_r, skip = icol(12), icol(13), icol(14)
+                code = slab_any2(rows, t_best, oxs, ixs,
+                                 ((m_l & 1) << 2) | ((m_r & 1) << 3))
+                hit_l = ((code & 1) != 0) & act
+                hit_r = ((code & 2) != 0) & act
+                leaf_l = (code & 4) != 0
+                leaf_r = (code & 8) != 0
                 e_l = hit_l & leaf_l
                 e_r = hit_r & leaf_r
                 # overflow: two enqueues with only one free slot
@@ -357,21 +398,28 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 return nd, banks, qh, qt
 
             def adv_step_wide(nd, banks, qh, qt):
-                """One step over the 8-ary layout (bvh.PacketBVH8). A
-                visit tests all 8 child boxes from ONE row gather; every
-                hit LEAF child folds into a single ring entry
-                (leaf_base << 8) | hitmask — drains pop one set bit per
-                drain — and the cursor descends to the FIRST hit inner
-                child (lowest row; later hit siblings arrive via the DFS
-                skip chain exactly as in the binary layout)."""
+                """One step over a wide layout (bvh.PacketBVH8, fanout 8
+                or 4 — inferred from the row width). A visit tests all F
+                child boxes from ONE row gather; every hit LEAF child
+                folds into a single ring entry (leaf_base << 8) | hitmask
+                — drains pop one set bit per drain — and the cursor
+                descends to the FIRST hit inner child (lowest row; later
+                hit siblings arrive via the DFS skip chain exactly as in
+                the binary layout)."""
+                fan = nodes.shape[1] // 8
                 cnt = qt - qh
                 act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
-                rows = nodes[jnp.maximum(nd, 0)]               # (P, 64)
+                rows = nodes.at[jnp.maximum(nd, 0)].get(
+                    mode="promise_in_bounds")                  # (P, 8F)
                 metas = jax.lax.bitcast_convert_type(
-                    rows[:, 48:56], jnp.int32)                 # (P, 8)
-                skip = jax.lax.bitcast_convert_type(rows[:, 56], jnp.int32)
-                base = jax.lax.bitcast_convert_type(rows[:, 57], jnp.int32)
-                hits = slab_any8(rows, t_best, oxs, ixs)       # (P, 8)
+                    rows[:, 6 * fan:7 * fan], jnp.int32)       # (P, F)
+                skip = jax.lax.bitcast_convert_type(
+                    rows[:, 7 * fan], jnp.int32)
+                base = jax.lax.bitcast_convert_type(
+                    rows[:, 7 * fan + 1], jnp.int32)
+                hcode = slab_anyw(rows, t_best, oxs, ixs, fan)  # (P,)
+                hits = (hcode[:, None]
+                        & jnp.left_shift(1, jnp.arange(fan))[None]) != 0
                 # meta < 0 marks an empty slot (see bvh.PacketBVH8: an
                 # inverted box does NOT fail the slab test)
                 ehit = hits & (metas >= 0) & act[:, None]
@@ -383,7 +431,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                     jnp.where(leaf_hit, jnp.left_shift(1, rank), 0),
                     axis=1)
                 nxt = skip
-                for k in range(7, -1, -1):   # first hit inner child wins
+                for k in range(fan - 1, -1, -1):  # first hit inner child
                     nxt = jnp.where(inner_hit[:, k], rank[:, k], nxt)
                 nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
                 entry = jnp.left_shift(base, 8) | leafmask
@@ -480,18 +528,30 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                     it_pend = it_pend + jnp.sum(vrow, dtype=jnp.int32)
 
                 dl = D * LN
-                tri = leaves[row_mat].reshape(pp, D, LEAF_F, LN)
+                # Flat (pp*D, LEAF_F*LN) gather + 2D column-block slices.
+                # The round-3 form gathered (pp, D, 384) and sliced the
+                # 4D reshape tri[:, :, k], which XLA lowered as a
+                # {1,0}->{0,1} relayout COPY of the whole gather result
+                # plus one (pp, dl) retile copy PER COMPONENT — 12 copy
+                # kernels and ~2.7 MB of pure layout traffic per round
+                # (the device profile's 10.6 ms "while-carry copies" were
+                # actually these; see benchmarks/dump_hlo.py). Row-major
+                # reshape (pp*D, LN) -> (pp, D*LN) preserves the (D, LN)
+                # drain-major order, so winner ties resolve identically.
+                tri = leaves.at[row_mat.reshape(pp * D)].get(
+                    mode="promise_in_bounds")        # (pp*D, LEAF_F*LN)
 
                 def tc(k):                                  # (P, D*LN, 1)
-                    return tri[:, :, k].reshape(pp, dl)[:, :, None]
+                    return tri[:, k * LN:(k + 1) * LN].reshape(
+                        pp, dl)[:, :, None]
 
                 v0x, v0y, v0z = tc(0), tc(1), tc(2)
                 e1x, e1y, e1z = tc(3), tc(4), tc(5)
                 e2x, e2y, e2z = tc(6), tc(7), tc(8)
                 matb = jax.lax.bitcast_convert_type(
-                    tri[:, :, 9].reshape(pp, dl), jnp.int32)
+                    tri[:, 9 * LN:10 * LN].reshape(pp, dl), jnp.int32)
                 gidb = jax.lax.bitcast_convert_type(
-                    tri[:, :, 10].reshape(pp, dl), jnp.int32)
+                    tri[:, 10 * LN:11 * LN].reshape(pp, dl), jnp.int32)
                 pend3 = jnp.broadcast_to(
                     vrow[:, :, None], (pp, D, LN)).reshape(pp, dl)[:, :, None]
 

