@@ -15,6 +15,26 @@ rays) + primaries, wall via device_time_fused + round counters.
 
 Run on the TPU; one JSON line per point. Numbers + verdict appended
 below after each run (the probe discipline).
+
+RESULTS (2026-08-18, run after the fusion-surgery commit b7f5e4b):
+  pk4_nodes 1439 vs binary 3695; leaf_rows identical (3696).
+  binary adv8:      bounce-1 9.593 ms (124 rounds, 992 adv_steps,
+                    sum_pp 32208); primaries 1.677 ms.
+  pk4 best (adv4, d1): 9.542 ms (134 rounds, 536 adv_steps, sum_pp
+                    34784); the full d1/d2 x adv{3,4,5,6,8} grid spans
+                    9.54-11.95 ms — every point >= binary minus noise.
+  pk4 primaries (adv5): 1.599 ms vs 1.677 (-4.7%, ~0.08 ms absolute).
+
+VERDICT: REFUTED (tie). The link cut is real (536 vs 992 adv steps at
+the best point) but phase A post-surgery is no longer link-dominated
+enough for halving levels to pay: pk4's wider rows make each adv step
+~2x the work (4 box tests + 4-way ring push vs 2), so wall is conserved
+— the same conservation law probe_advstage found for schedule changes
+now holds for arity too. Round count UP at the best point (134 vs 124:
+shallower tree but the drain floor and ragged walks dominate). The ~5%
+primary win is too small to carry a third tree build + upload.
+WIDE_ENABLE stays False; fanout=4 layout + tests kept for re-probing if
+the drain floor ever moves.
 """
 
 from __future__ import annotations
