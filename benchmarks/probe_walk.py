@@ -15,6 +15,38 @@ triangles). This probe measures, on the exact c3 bounce-1 workload
 
 Run on the TPU; one JSON line per point. Numbers + verdict appended
 below after each run (the probe discipline).
+
+RESULTS (2026-08-18, two runs, post-fusion-surgery b7f5e4b):
+
+Run 1 (production threshold, SA > 2x median): the pass is a NO-OP on
+the blob — identical trees at every alpha (pk_nodes 3695, leaf rows
+3696) because the mesh is uniform: max/median reference-box SA is 1.66
+(measured inline below the probe), so no reference ever qualifies.
+bounce-1 9.55-9.59 ms, rounds 124 at every alpha — pure noise.
+
+Run 2 (threshold forced to 0 so the budget is actually spent —
+bvh.PRESPLIT_THRESHOLD):
+    alpha  leaf_rows  bounce1_ms  rounds  adv_steps  sum_pp
+    0.0      3696       9.459      124      992      32208
+    0.25     4518      10.083      130     1040      32272
+    0.5      5454      10.064      135     1080      34272
+    1.0      7378      11.273      155     1240      36176
+    primaries: 1.502 -> 1.644 -> 1.824 -> 1.901 ms (monotone loss)
+
+VERDICT: REFUTED on this mesh class, from both directions. With the
+production gate the pass correctly never fires (no oversized refs
+exist to split); with the gate forced off, every unit of budget makes
+the tree DEEPER (nodes +22%/ref at alpha 1.0) and the straggler walk
+LONGER (rounds 124 -> 155, +25%) — spatial splits pay only where
+oversized/diagonal references inflate node overlap, and a uniform
+closed tessellation has none. The walk is a property of the per-packet
+ray-footprint union, not of SAH topology quality (consistent with
+probe_sahbins: 16 bins already saturate). PRESPLIT_ALPHA stays 0.0 for
+the built-ins; the pass + tests stay for OBJ imports with sliver/
+oversized triangles, where the 2x-median gate will fire and the clipped
+boxes are the textbook win. Tree quality on the blob is now CLOSED
+(bins saturated, spatial splits counterproductive, 8-ary and 4-ary
+fanouts each refuted end-to-end).
 """
 
 from __future__ import annotations
@@ -80,14 +112,18 @@ def main() -> None:
                           "rounds": r, "adv_steps": a, "sum_pp": s_pp,
                           "sum_pending": s_pend}), flush=True)
 
-    for alpha in (0.0, 0.25, 0.5, 1.0):
+    # threshold=0 forces the split budget to be spent even on uniform
+    # meshes (run 1 found the production 2x-median gate makes the pass a
+    # no-op on the blob: max/median box SA is 1.66 — see RESULTS)
+    for alpha, thr in ((0.0, 2.0), (0.25, 0.0), (0.5, 0.0), (1.0, 0.0)):
         t0 = time.time()
-        old = bvh.PRESPLIT_ALPHA
+        old = (bvh.PRESPLIT_ALPHA, bvh.PRESPLIT_THRESHOLD)
         bvh.PRESPLIT_ALPHA = alpha
+        bvh.PRESPLIT_THRESHOLD = thr
         try:
             sc_a, _ = config.build_scene(cfg)
         finally:
-            bvh.PRESPLIT_ALPHA = old
+            bvh.PRESPLIT_ALPHA, bvh.PRESPLIT_THRESHOLD = old
         sc_a = sc_a.device()
         build_s = time.time() - t0
         print(json.dumps({"alpha": alpha, "build_s": round(build_s, 2),

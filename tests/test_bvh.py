@@ -179,12 +179,16 @@ def test_presplit_traversal_matches_plain(micro_mesh):
     v[5] += np.array([0.01, 4.0, 0.02])
     sc_plain, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
 
-    old = bvh.PRESPLIT_ALPHA
+    # threshold=0 forces the budget to be spent even where no ref clears
+    # the 2x-median area gate (probe_walk.py's forced mode) — winner
+    # exactness must hold for splits of uniform refs too
+    old = (bvh.PRESPLIT_ALPHA, bvh.PRESPLIT_THRESHOLD)
     bvh.PRESPLIT_ALPHA = 1.0
+    bvh.PRESPLIT_THRESHOLD = 0.0
     try:
         sc_split, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
     finally:
-        bvh.PRESPLIT_ALPHA = old
+        bvh.PRESPLIT_ALPHA, bvh.PRESPLIT_THRESHOLD = old
     # the pass must have actually duplicated references
     assert sc_split.pk_leaves.shape[0] >= sc_plain.pk_leaves.shape[0]
 

@@ -258,6 +258,10 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, mat: np.ndarray,
 # count (0 = off). Flipped per-build via build_packet(presplit=...) by the
 # probes; the production default is set from probe_walk.py's measurement.
 PRESPLIT_ALPHA = 0.0
+# Split-candidate gate (box SA > PRESPLIT_THRESHOLD * median); see
+# presplit_refs. probe_walk.py sets 0.0 to force the budget spent on
+# uniform meshes.
+PRESPLIT_THRESHOLD = 2.0
 
 
 def _clip_half_aabb(tv: np.ndarray, axis: int, m: np.ndarray, keep_hi: bool):
@@ -287,13 +291,20 @@ def _clip_half_aabb(tv: np.ndarray, axis: int, m: np.ndarray, keep_hi: bool):
     return lo, hi, valid.any(axis=1)
 
 
-def presplit_refs(v0, v1, v2, alpha: float):
+def presplit_refs(v0, v1, v2, alpha: float, threshold: float = 2.0):
     """Reference-duplication pre-pass: returns (rlo, rhi, rtri) with at
     most ``ntri * (1 + alpha)`` references. Each round splits the
     largest-surface-area references at the spatial midpoint of their
     longest axis, clipping the ORIGINAL triangle against the plane and
     intersecting with the parent reference box (monotonically tighter,
-    always a superset of the contained geometry)."""
+    always a superset of the contained geometry).
+
+    threshold: only references with box SA > threshold * median are
+    split candidates (2.0 = the production guard: uniform meshes skip
+    the pass entirely). probe_walk.py forces threshold=0 to measure
+    whether splitting UNIFORM refs can move the straggler walk at all —
+    the blob's max/median box SA is 1.66, so at the default threshold
+    the pass is (correctly) a no-op there."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -313,7 +324,7 @@ def presplit_refs(v0, v1, v2, alpha: float):
         med = np.median(areas)
         # only references meaningfully larger than the population are
         # worth a split (uniform meshes mostly skip the pass entirely)
-        big = np.nonzero(areas > 2.0 * med)[0]
+        big = np.nonzero(areas > threshold * med)[0]
         if big.size == 0:
             break
         order = big[np.argsort(-areas[big], kind="stable")]
@@ -446,7 +457,8 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
 
     alpha = PRESPLIT_ALPHA if presplit is None else presplit
     if alpha > 0:
-        rlo, rhi, rtri = presplit_refs(v0, v1, v2, alpha)
+        rlo, rhi, rtri = presplit_refs(v0, v1, v2, alpha,
+                                       threshold=PRESPLIT_THRESHOLD)
         dedup = _uniq_keep_order
     else:
         rlo, rhi = tlo, thi
