@@ -17,6 +17,29 @@ Grid: N in {512k, 1M, 2M} x STAGE_MAX in {6 (baseline), 8, 10} on the
 c3 bounce-1 workload + primaries at the winner. device_time_fused wall
 + round counters; one JSON line per point. Numbers + verdict appended
 below after each run (the probe discipline).
+
+RESULTS (2026-08-18, TPU v5e via axon relay, post-fusion-surgery):
+
+    bounce-1 ns/ray (rounds):
+        N        SM=6          SM=8          SM=10
+      524288   53.6 (161)    52.2 (161)    53.0 (161)
+     1048576   50.2 (197)    49.3 (188)    49.4 (188)
+     2097152   49.1 (212)    48.5 (206)    48.2 (206)
+    primaries: 8.62 ns/ray at 512k/SM6, 8.16 at 1M/SM8.
+
+VERDICT: the round-3 "1M turns" result is GONE post-surgery — ns/ray
+now falls monotonically with N (the surgery cut the per-round kernel
+cost, so the relative-cap dwell that used to eat the amortization no
+longer dominates; sum_pp still grows 129k->259k->527k but each unit is
+cheaper). Deeper ladders are a consistent but small ~1-2% (rounds
+197->188 at 1M). Absolute gains over 512k are ~7-9% ISOLATED — and the
+round-3 adoption caveat applies unchanged (the deep-bounce tail is
+round-floor-bound; probe_batchscale's end-to-end test showed fresh-
+bounce amortization compresses only ~1/3 of the frame). Superseded in
+priority by cross-batch tail coalescing (render._accum_frame_coalesced,
+probe_tailcoalesce.py), which attacks the same per-batch floor without
+widening any live array; re-audition ray_batch=1M + SM=8 only AFTER the
+coalesced frame is the baseline (probe_tailcoalesce grid).
 """
 
 from __future__ import annotations

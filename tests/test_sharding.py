@@ -115,3 +115,20 @@ def test_sub_block_loop_matches_single(sp, single, monkeypatch):
                                      mesh)
     assert sm["rays"] == s1["rays"]
     assert film_mod.rmse(f1, fm) < 1e-6
+
+
+def test_sub_block_tail_coalesce_matches_single(monkeypatch):
+    """The c5 path: tail coalescing over the per-chip SUB_BLOCK loop
+    (mesh._device_trace) needs a BVH scene — per-ray radiance and ray
+    counts must be invariant, including partial final groups (6
+    sub-blocks at TAIL_GROUP=4 -> one full + one 2-slot flush)."""
+    cfg = CFG.replace(scene="blob", mesh_subdiv=2, spp=4)
+    scene, cam = config.build_scene(cfg)
+    f1, s1 = render.render(cfg, scene, cam)
+    monkeypatch.setattr(mesh_mod, "SUB_BLOCK", 128)
+    monkeypatch.setattr(render, "TAIL_GROUP", 4)
+    mesh = mesh_mod.make_mesh(2)  # 768 px/chip -> 6 sub-blocks
+    fm, sm = mesh_mod.render_sharded(cfg.replace(shard="tiles"), scene,
+                                     cam, mesh)
+    assert sm["rays"] == s1["rays"]
+    assert film_mod.rmse(f1, fm) < 1e-6

@@ -50,6 +50,17 @@ from .scene import Scene
 AXIS = "chips"
 
 
+def _tail_params():
+    """Snapshot render.py's tail-coalescing knobs as a hashable static
+    (passing the module globals through the jit boundary explicitly —
+    a closure over them would go stale in the jit cache when probes or
+    tests flip the flags)."""
+    from . import render as render_mod
+
+    return (render_mod.TAIL_COALESCE, render_mod.TAIL_CUT,
+            render_mod.TAIL_GROUP, render_mod.TAIL_STAGE_MAX)
+
+
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
@@ -66,7 +77,8 @@ SUB_BLOCK = 1 << 17
 
 
 def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
-                  width, height, mode: str, max_depth: int, rr_start):
+                  width, height, mode: str, max_depth: int, rr_start,
+                  tail=None):
     """Trace one device's (pixel-block × sample-slice); returns the
     per-pixel radiance sum (B,3) and rays-cast scalar. Pure SPMD body.
 
@@ -111,6 +123,52 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
     if b <= SUB_BLOCK or b % SUB_BLOCK != 0:
         return trace_block(gpix, gvalid)
 
+    from . import render as render_mod
+
+    if tail is None:
+        tail = (render_mod.TAIL_COALESCE, render_mod.TAIL_CUT,
+                render_mod.TAIL_GROUP, render_mod.TAIL_STAGE_MAX)
+    t_on, t_cut, t_group, t_sm = tail
+    if (t_on and mode == "mega" and scene.pk_nodes is not None
+            and max_depth > t_cut + 1):
+        # Cross-batch tail coalescing over the sub-block axis (see the
+        # module comment in render.py): each sub-block traces bounces
+        # [0, TAIL_CUT) and banks its survivors; every TAIL_GROUP
+        # sub-blocks complete as ONE merged span, so the round-floor-
+        # bound deep tail — which DOMINATES at config 5's contract depth
+        # (probe_batchscale SCOPE note: width only compresses fresh
+        # bounces) — is paid once per group instead of once per
+        # sub-block. Film rows are disjoint per sub-block, so the fold
+        # is a plain slice-add and byte-identity is structural.
+        def gen(it):
+            p0 = it * SUB_BLOCK
+            pix_blk = jax.lax.dynamic_slice(gpix, (p0,), (SUB_BLOCK,))
+            valid_blk = jax.lax.dynamic_slice(gvalid, (p0,), (SUB_BLOCK,))
+            pix = jnp.tile(pix_blk, c)
+            valid = jnp.tile(valid_blk, c)
+            smp = jnp.repeat(sample_ids, SUB_BLOCK)
+            keys = rng.make_streams(seed, pix, smp)
+            jit2 = rng.camera_draws(keys)
+            o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
+            return o, d, keys, valid, p0
+
+        def commit(rad_acc, radg, metas):
+            radg = radg.reshape(t_group, c, SUB_BLOCK, 3).sum(axis=1)
+
+            def fold(gg, rad_acc):
+                q0 = metas[gg]
+                old = jax.lax.dynamic_slice(rad_acc, (q0, 0),
+                                            (SUB_BLOCK, 3))
+                return jax.lax.dynamic_update_slice(
+                    rad_acc, old + radg[gg], (q0, 0))
+
+            return jax.lax.fori_loop(0, t_group, fold, rad_acc)
+
+        return render_mod.coalesced_loop(
+            scene, b // SUB_BLOCK, t_group, SUB_BLOCK * c, t_cut,
+            max_depth, rr_start, t_sm, gen, commit,
+            jnp.zeros((b, 3), jnp.float32))
+
     def body(bi, carry):
         rad_acc, nrays_acc = carry
         p0 = bi * SUB_BLOCK
@@ -129,16 +187,17 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
 
 @partial(jax.jit,
          static_argnames=("mesh", "mode", "max_depth", "rr_start",
-                          "width", "height"))
+                          "width", "height", "tail"))
 def _tiles_chunk(scene: Scene, cam, gpix_pad, gvalid_pad, sample_ids, seed,
                  mesh: Mesh, mode: str, max_depth: int, rr_start,
-                 width: int, height: int):
+                 width: int, height: int, tail=None):
     """One sample-chunk over the pixel-sharded frame."""
 
     def body(scene, cam, gpix_block, gvalid_block, sample_ids, seed):
         rad, nrays = _device_trace(scene, cam, gpix_block, gvalid_block,
                                    sample_ids, seed,
-                                   width, height, mode, max_depth, rr_start)
+                                   width, height, mode, max_depth, rr_start,
+                                   tail=tail)
         return rad, jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(
@@ -152,17 +211,18 @@ def _tiles_chunk(scene: Scene, cam, gpix_pad, gvalid_pad, sample_ids, seed,
 
 @partial(jax.jit,
          static_argnames=("mesh", "mode", "max_depth", "rr_start",
-                          "width", "height"))
+                          "width", "height", "tail"))
 def _spp_chunk(scene: Scene, cam, pixel_ids, sample_ids_pad, seed,
                mesh: Mesh, mode: str, max_depth: int, rr_start,
-               width: int, height: int):
+               width: int, height: int, tail=None):
     """One pixel-block over the sample-sharded axis; film psum over ICI."""
 
     def body(scene, cam, pixel_ids, sample_block, seed):
         valid = jnp.ones(pixel_ids.shape, bool)
         rad, nrays = _device_trace(scene, cam, pixel_ids, valid,
                                    sample_block, seed,
-                                   width, height, mode, max_depth, rr_start)
+                                   width, height, mode, max_depth, rr_start,
+                                   tail=tail)
         return jax.lax.psum(rad, AXIS), jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(
@@ -234,7 +294,7 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
                 rad, nrays = _spp_chunk(
                     scene, cam, pixel_ids, sample_ids, seed, mesh,
                     cfg.mode, cfg.max_depth, cfg.rr_start,
-                    cfg.width, cfg.height,
+                    cfg.width, cfg.height, tail=_tail_params(),
                 )
                 film_acc = film_acc.at[p0:p1].add(rad)
                 total_rays += int(nrays)
@@ -266,7 +326,7 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
             rad, nrays = _tiles_chunk(
                 scene, cam, gpix, gvalid, sample_ids, seed, mesh,
                 cfg.mode, cfg.max_depth, cfg.rr_start,
-                cfg.width, cfg.height,
+                cfg.width, cfg.height, tail=_tail_params(),
             )
             film_pad = film_pad + rad
             total_rays += int(nrays)

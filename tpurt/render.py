@@ -181,6 +181,159 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
     return film_flat, nrays_acc
 
 
+# --- cross-batch tail coalescing (round 4) --------------------------------
+# The deep-bounce tail is round-floor-bound and batch-width-insensitive
+# (probe_breakdown: bounce-4 costs ~3.6 ms whether 5.3k or 6.1k rays are
+# live; BASELINE.md "Why the full path gains less"), yet the frame loop
+# paid it once PER 512k BATCH — on c3 that is ~43% of the frame (bounces
+# 3+) multiplied by ~8 batches. Coalescing traces each batch only to
+# TAIL_CUT, stashes the survivor state, and completes every TAIL_GROUP
+# batches' survivors as ONE merged span (trace.trace bounce0=TAIL_CUT),
+# so the tail's round floor is paid once per group. Byte-identity is
+# preserved by construction: per-ray RNG/accumulation chains are
+# untouched (the bounce counter is absolute and dead lanes only add
+# exact 0.0), each iteration's full-path radiance is folded into the
+# film at flush time in the ORIGINAL iteration order, and packets never
+# mix rays (traversal results are packet-local, so array composition is
+# irrelevant). Pinned by tests/test_render.py::test_tail_coalesce_*.
+TAIL_COALESCE = True
+TAIL_CUT = 3          # batches hand survivors over at this bounce
+TAIL_GROUP = 8        # batches whose tails merge into one span
+TAIL_STAGE_MAX = 8    # merged span enters much wider than its live set:
+#                       deeper compaction ladder than BOUNCE_STAGE_MAX
+
+
+def coalesced_loop(scene: Scene, total, group: int, B: int, cut: int,
+                   max_depth: int, rr_start, tail_stage_max: int,
+                   gen, commit, acc0):
+    """The coalescing engine, shared by the 1-chip frame loop below and
+    the per-chip sub-block loop in mesh._device_trace.
+
+    Iterates ``it in [0, total)`` (total may be traced): per iteration,
+    ``gen(it) -> (o, d, keys, valid, meta)`` makes B rays (meta: an
+    int32 scalar the caller's fold needs, e.g. the film row offset);
+    bounces [0, cut) trace immediately and the survivor state banks into
+    slot ``it % group``. Every `group` iterations — or at the end — the
+    banked survivors complete as ONE merged trace span (the flush), and
+    ``commit(acc, rad (group, B, 3), metas (group,)) -> acc`` folds the
+    group's COMPLETE per-ray radiance in slot order. Unfilled slots are
+    born dead with zero radiance and meta 0, so commit's adds are exact
+    no-ops for them. Returns (acc, rays_cast).
+    """
+    bufs0 = (
+        jnp.zeros((group, B, 3), jnp.float32),   # o
+        jnp.zeros((group, B, 3), jnp.float32),   # d
+        jnp.zeros((group, B, 3), jnp.float32),   # atten
+        jnp.zeros((group, B, 3), jnp.float32),   # rad (phase-1 partial)
+        jnp.zeros((3, group, B), jnp.uint32),    # keys
+        jnp.zeros((group, B), bool),             # alive
+        jnp.zeros((group,), jnp.int32),          # meta per slot
+    )
+
+    def iter_body(it, carry):
+        acc, nrays_acc, bufs = carry
+        bo, bd, batten, brad, bkeys, balive, bmeta = bufs
+        g = it % group
+        o, d, keys, valid, meta = gen(it)
+
+        rad1, nr1, (so, sd, satten, salive, sks) = trace.trace(
+            scene, o, d, keys, cut, rr_start, valid=valid,
+            want_state=True)
+        nrays_acc = nrays_acc + nr1
+
+        def put(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val[None], (g,) + (0,) * val.ndim)
+
+        bufs = (put(bo, so), put(bd, sd), put(batten, satten),
+                put(brad, rad1),
+                jax.lax.dynamic_update_slice(bkeys, sks[:, None],
+                                             (0, g, 0)),
+                put(balive, salive), bmeta.at[g].set(meta))
+
+        def flush(args):
+            acc, nrays_acc, bufs = args
+            bo, bd, batten, brad, bkeys, balive, bmeta = bufs
+            rad2, nr2 = trace.trace(
+                scene, bo.reshape(group * B, 3), bd.reshape(group * B, 3),
+                bkeys.reshape(3, group * B), max_depth, rr_start,
+                valid=balive.reshape(-1), bounce0=cut,
+                atten0=batten.reshape(group * B, 3),
+                rad0=brad.reshape(group * B, 3),
+                stage_max=tail_stage_max)
+            acc = commit(acc, rad2.reshape(group, B, 3), bmeta)
+            # reset: stale slots must not re-fold radiance next flush —
+            # dead lanes pass rad0 straight through to rad2, so brad and
+            # balive (and the fold targets bmeta) are zeroed
+            bufs = (bo, bd, batten, jnp.zeros_like(brad), bkeys,
+                    jnp.zeros_like(balive), jnp.zeros_like(bmeta))
+            return acc, nrays_acc + nr2, bufs
+
+        return jax.lax.cond(
+            (g == group - 1) | (it == total - 1), flush,
+            lambda args: args, (acc, nrays_acc, bufs))
+
+    acc, nrays_acc, _ = jax.lax.fori_loop(
+        0, total, iter_body, (acc0, jnp.int32(0), bufs0))
+    return acc, nrays_acc
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "max_depth", "rr_start",
+                          "block", "c", "n_blocks", "cut", "group",
+                          "tail_stage_max"),
+         donate_argnames=("film_flat", "nrays_acc"))
+def _accum_frame_coalesced(scene: Scene, cam, order_pad, valid_pad,
+                           inv_order, film_flat, nrays_acc, s0, n_chunks,
+                           seed, width: int, height: int, max_depth: int,
+                           rr_start, block: int, c: int, n_blocks: int,
+                           cut: int, group: int, tail_stage_max: int):
+    """_accum_frame with cross-batch tail coalescing (see the module
+    comment above): same (sample-chunk x pixel-block) iteration space,
+    one device dispatch, but each iteration traces only bounces
+    [0, cut) and banks its survivor state; every `group` iterations (or
+    at the end) the banked survivors complete as ONE merged trace span
+    and the group's radiance folds into the film in iteration order.
+
+    n_chunks stays TRACED (the loop bound is dynamic) so a 1-sample
+    warmup shares this program with the full run, exactly like
+    _accum_frame; the flush fires on ``slot == group-1 or last
+    iteration`` via lax.cond.
+    """
+    film_tiled = jnp.where(valid_pad[:, None], film_flat[order_pad], 0.0)
+
+    def gen(it):
+        ci = it // n_blocks
+        bi = it % n_blocks
+        p0 = bi * block
+        sample_ids = s0 + ci * c + jnp.arange(c, dtype=jnp.int32)
+        pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
+        valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
+        pixf = jnp.tile(pix, c)
+        validf = jnp.tile(valid, c)
+        smp = jnp.repeat(sample_ids, block)
+        keys = rng.make_streams(seed, pixf, smp)
+        jit2 = rng.camera_draws(keys)
+        o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
+        return o, d, keys, validf, p0
+
+    def commit(film_tiled, radg, metas):
+        radg = radg.reshape(group, c, block, 3).sum(axis=1)
+
+        def fold(gg, film_tiled):
+            q0 = metas[gg]
+            old = jax.lax.dynamic_slice(film_tiled, (q0, 0), (block, 3))
+            return jax.lax.dynamic_update_slice(
+                film_tiled, old + radg[gg], (q0, 0))
+
+        return jax.lax.fori_loop(0, group, fold, film_tiled)
+
+    film_tiled, nrays = coalesced_loop(
+        scene, n_chunks * n_blocks, group, block * c, cut, max_depth,
+        rr_start, tail_stage_max, gen, commit, film_tiled)
+    return film_tiled[inv_order], nrays_acc + nrays
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def _raygen(scene: Scene, cam, pixel_ids, sample_ids, seed,
             width: int, height: int):
@@ -237,13 +390,29 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
         ):
             if n_chunks == 0 or c == 0:
                 continue
-            film_flat, nrays_acc = _accum_frame(
-                scene, cam, order_pad, valid_pad, inv_order,
-                film_flat, nrays_acc,
-                jnp.int32(s0), jnp.int32(n_chunks), seed,
-                cfg.width, cfg.height, cfg.mode, cfg.max_depth,
-                cfg.rr_start, pixel_block, c, n_blocks,
+            coalesce = (
+                TAIL_COALESCE and cfg.mode == "mega"
+                and scene.pk_nodes is not None
+                and cfg.max_depth > TAIL_CUT + 1
+                and n_chunks * n_blocks > 1
             )
+            if coalesce:
+                film_flat, nrays_acc = _accum_frame_coalesced(
+                    scene, cam, order_pad, valid_pad, inv_order,
+                    film_flat, nrays_acc,
+                    jnp.int32(s0), jnp.int32(n_chunks), seed,
+                    cfg.width, cfg.height, cfg.max_depth,
+                    cfg.rr_start, pixel_block, c, n_blocks,
+                    TAIL_CUT, TAIL_GROUP, TAIL_STAGE_MAX,
+                )
+            else:
+                film_flat, nrays_acc = _accum_frame(
+                    scene, cam, order_pad, valid_pad, inv_order,
+                    film_flat, nrays_acc,
+                    jnp.int32(s0), jnp.int32(n_chunks), seed,
+                    cfg.width, cfg.height, cfg.mode, cfg.max_depth,
+                    cfg.rr_start, pixel_block, c, n_blocks,
+                )
         return film_flat, int(nrays_acc)
 
     if cfg.mode == "wavefront":
