@@ -296,13 +296,20 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         output code for free — adv_step rides the two leaf flags (bits
         2-3) through here, which deleted the standalone per-step `eq`
         kernel the flags otherwise cost."""
+        # Column access is a KEEPDIM slice rows[:, c:c+1] (a (P,1)
+        # sublane-resident operand broadcast along lanes inside the
+        # fusion), NOT rows[:, c, None]: the squeeze-to-(P,) form made
+        # XLA materialize all 12 columns through a separate
+        # sublane->lane relayout kernel per adv step (slice_reduce
+        # fusion, ~14% of the stage-0 round's estimated cycles —
+        # benchmarks/dump_hlo.py census, round 4).
         code = None
         for bit, off in ((1, 0), (2, 6)):
             tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
             tf = t_best
             for k in range(3):
-                t0 = (rows[:, off + k, None] - oxs[k]) * ixs[k]
-                t1 = (rows[:, off + k + 3, None] - oxs[k]) * ixs[k]
+                t0 = (rows[:, off + k:off + k + 1] - oxs[k]) * ixs[k]
+                t1 = (rows[:, off + k + 3:off + k + 4] - oxs[k]) * ixs[k]
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
             c = jnp.where(tn <= tf, jnp.int32(bit), jnp.int32(0))
@@ -326,8 +333,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
             tf = t_best
             for c in range(3):
-                t0 = (rows[:, c * fan + k, None] - oxs[c]) * ixs[c]
-                t1 = (rows[:, (3 + c) * fan + k, None] - oxs[c]) * ixs[c]
+                # keepdim slices for the same relayout-kernel reason as
+                # slab_any2
+                i0, i1 = c * fan + k, (3 + c) * fan + k
+                t0 = (rows[:, i0:i0 + 1] - oxs[c]) * ixs[c]
+                t1 = (rows[:, i1:i1 + 1] - oxs[c]) * ixs[c]
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
             c_k = jnp.where(tn <= tf, jnp.int32(1 << k), jnp.int32(0))
@@ -603,10 +613,18 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 w_nx = jnp.sum(gnx[:, :, None] * ohf, axis=1)
                 w_ny = jnp.sum(gny[:, :, None] * ohf, axis=1)
                 w_nz = jnp.sum(gnz[:, :, None] * ohf, axis=1)
-                w_m = jnp.sum(jnp.where(onehot, matb[:, :, None], 0),
-                              axis=1)
-                w_g = jnp.sum(jnp.where(onehot, gidb[:, :, None], 0),
-                              axis=1)
+                # The int payloads ride the SAME f32 one-hot sweep as
+                # the normals — exact (mat/gid values < 2^24; non-winner
+                # lanes contribute x*0.0 = exact 0.0, the winner rides
+                # through the f32 roundtrip losslessly). The former
+                # s32 where+sum pair was a SECOND full (P, dl, R) sweep
+                # kernel per drain: XLA splits reduction fusions by
+                # dtype (select_reduce.35/36, ~13% of the stage-0
+                # round's estimated cycles — dump_hlo census, round 4).
+                w_m = jnp.sum(matb.astype(jnp.float32)[:, :, None] * ohf,
+                              axis=1).astype(jnp.int32)
+                w_g = jnp.sum(gidb.astype(jnp.float32)[:, :, None] * ohf,
+                              axis=1).astype(jnp.int32)
 
                 t_best = jnp.where(better, tj, t_best)
                 nx = jnp.where(better, w_nx, nx)

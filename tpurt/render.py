@@ -196,7 +196,15 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
 # film at flush time in the ORIGINAL iteration order, and packets never
 # mix rays (traversal results are packet-local, so array composition is
 # irrelevant). Pinned by tests/test_render.py::test_tail_coalesce_*.
-TAIL_COALESCE = True
+# MEASURED OFF (probe_tailcoalesce.py, 2026-08-18): every (cut, group)
+# point lost 11-20% on the c3 bench config, the loss scaling with the
+# merged width. The width-insensitive-tail premise breaks on packet
+# granularity: a 128-ray packet stays live while ANY ray lives, so at
+# the cut bounces 2-5 the merged span still walks ~100% of its packets
+# per bounce while its stage ladders bottom out 8-16x wider than the
+# per-batch floors. The engine stays (bit-exactness pinned by
+# tests/test_render.py) for future regrouping designs.
+TAIL_COALESCE = False
 TAIL_CUT = 3          # batches hand survivors over at this bounce
 TAIL_GROUP = 8        # batches whose tails merge into one span
 TAIL_STAGE_MAX = 8    # merged span enters much wider than its live set:
@@ -220,61 +228,67 @@ def coalesced_loop(scene: Scene, total, group: int, B: int, cut: int,
     born dead with zero radiance and meta 0, so commit's adds are exact
     no-ops for them. Returns (acc, rays_cast).
     """
-    bufs0 = (
-        jnp.zeros((group, B, 3), jnp.float32),   # o
-        jnp.zeros((group, B, 3), jnp.float32),   # d
-        jnp.zeros((group, B, 3), jnp.float32),   # atten
-        jnp.zeros((group, B, 3), jnp.float32),   # rad (phase-1 partial)
-        jnp.zeros((3, group, B), jnp.uint32),    # keys
-        jnp.zeros((group, B), bool),             # alive
-        jnp.zeros((group,), jnp.int32),          # meta per slot
-    )
+    total = jnp.asarray(total, jnp.int32)
+    n_groups = (total + group - 1) // group
 
-    def iter_body(it, carry):
-        acc, nrays_acc, bufs = carry
-        bo, bd, batten, brad, bkeys, balive, bmeta = bufs
-        g = it % group
-        o, d, keys, valid, meta = gen(it)
+    def group_body(gi, carry):
+        acc, nrays_acc = carry
+        bufs0 = (
+            jnp.zeros((group, B, 3), jnp.float32),   # o
+            jnp.zeros((group, B, 3), jnp.float32),   # d
+            jnp.zeros((group, B, 3), jnp.float32),   # atten
+            jnp.zeros((group, B, 3), jnp.float32),   # rad (phase-1)
+            jnp.zeros((3, group, B), jnp.uint32),    # keys
+            jnp.zeros((group, B), bool),             # alive
+            jnp.zeros((group,), jnp.int32),          # meta per slot
+        )
 
-        rad1, nr1, (so, sd, satten, salive, sks) = trace.trace(
-            scene, o, d, keys, cut, rr_start, valid=valid,
-            want_state=True)
-        nrays_acc = nrays_acc + nr1
-
-        def put(buf, val):
-            return jax.lax.dynamic_update_slice(
-                buf, val[None], (g,) + (0,) * val.ndim)
-
-        bufs = (put(bo, so), put(bd, sd), put(batten, satten),
-                put(brad, rad1),
-                jax.lax.dynamic_update_slice(bkeys, sks[:, None],
-                                             (0, g, 0)),
-                put(balive, salive), bmeta.at[g].set(meta))
-
-        def flush(args):
-            acc, nrays_acc, bufs = args
+        def slot_body(g, c2):
+            nrays_acc, bufs = c2
             bo, bd, batten, brad, bkeys, balive, bmeta = bufs
-            rad2, nr2 = trace.trace(
-                scene, bo.reshape(group * B, 3), bd.reshape(group * B, 3),
-                bkeys.reshape(3, group * B), max_depth, rr_start,
-                valid=balive.reshape(-1), bounce0=cut,
-                atten0=batten.reshape(group * B, 3),
-                rad0=brad.reshape(group * B, 3),
-                stage_max=tail_stage_max)
-            acc = commit(acc, rad2.reshape(group, B, 3), bmeta)
-            # reset: stale slots must not re-fold radiance next flush —
-            # dead lanes pass rad0 straight through to rad2, so brad and
-            # balive (and the fold targets bmeta) are zeroed
-            bufs = (bo, bd, batten, jnp.zeros_like(brad), bkeys,
-                    jnp.zeros_like(balive), jnp.zeros_like(bmeta))
-            return acc, nrays_acc + nr2, bufs
+            it = gi * group + g
+            # the final group may be partial: masked slots trace rays
+            # born dead (zero radiance, zero count, meta 0 — commit's
+            # fold adds exact zeros at offset 0)
+            ok = it < total
+            o, d, keys, valid, meta = gen(jnp.minimum(it, total - 1))
+            valid = valid & ok
+            meta = jnp.where(ok, meta, 0)
 
-        return jax.lax.cond(
-            (g == group - 1) | (it == total - 1), flush,
-            lambda args: args, (acc, nrays_acc, bufs))
+            rad1, nr1, (so, sd, satten, salive, sks) = trace.trace(
+                scene, o, d, keys, cut, rr_start, valid=valid,
+                want_state=True)
 
-    acc, nrays_acc, _ = jax.lax.fori_loop(
-        0, total, iter_body, (acc0, jnp.int32(0), bufs0))
+            def put(buf, val):
+                return jax.lax.dynamic_update_slice(
+                    buf, val[None], (g,) + (0,) * val.ndim)
+
+            bufs = (put(bo, so), put(bd, sd), put(batten, satten),
+                    put(brad, rad1),
+                    jax.lax.dynamic_update_slice(bkeys, sks[:, None],
+                                                 (0, g, 0)),
+                    put(balive, salive), bmeta.at[g].set(meta))
+            return nrays_acc + nr1, bufs
+
+        nrays_acc, bufs = jax.lax.fori_loop(0, group, slot_body,
+                                            (nrays_acc, bufs0))
+        bo, bd, batten, brad, bkeys, balive, bmeta = bufs
+        # flush: the banked survivors of the whole group complete as ONE
+        # merged span (straight-line — an earlier lax.cond flush copied
+        # the full buffer set through the conditional every iteration,
+        # ~60 ms/frame of boundary copies in the device profile)
+        rad2, nr2 = trace.trace(
+            scene, bo.reshape(group * B, 3), bd.reshape(group * B, 3),
+            bkeys.reshape(3, group * B), max_depth, rr_start,
+            valid=balive.reshape(-1), bounce0=cut,
+            atten0=batten.reshape(group * B, 3),
+            rad0=brad.reshape(group * B, 3),
+            stage_max=tail_stage_max)
+        acc = commit(acc, rad2.reshape(group, B, 3), bmeta)
+        return acc, nrays_acc + nr2
+
+    acc, nrays_acc = jax.lax.fori_loop(
+        0, n_groups, group_body, (acc0, jnp.int32(0)))
     return acc, nrays_acc
 
 
