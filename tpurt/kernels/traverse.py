@@ -123,6 +123,10 @@ ADV_STEPS_WIDE4 = 5
 # Production switch for the wide layout — see the selection comment in
 # packet_nearest_tri (measured slower under the current round regime).
 WIDE_ENABLE = False
+# Mosaic slab-step kernel (kernels/slab.py): fuses the per-step column
+# extraction + slab + lane reduce + meta decode into one launch.
+# Decided by benchmarks/probe_slabk.py.
+SLABK_ENABLE = False
 MC_K = 8        # subtree cursors per packet (multi-cursor traversal)
 # Multi-cursor only pays for traversals that START narrow (deep-bounce
 # tail batches): at full width it was re-measured a LOSS in round 2
@@ -375,10 +379,21 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             def adv_step(nd, banks, qh, qt):
                 cnt = qt - qh
                 act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
-                rows, icol = node_fields(jnp.maximum(nd, 0))
-                m_l, m_r, skip = icol(12), icol(13), icol(14)
-                code = slab_any2(rows, t_best, oxs, ixs,
-                                 ((m_l & 1) << 2) | ((m_r & 1) << 3))
+                if SLABK_ENABLE and jax.default_backend() == "tpu":
+                    # Mosaic slab step: extract + slab + lane reduce +
+                    # meta decode in ONE kernel (see kernels/slab.py;
+                    # adoption decided by benchmarks/probe_slabk.py)
+                    from . import slab as slab_k
+                    rows = nodes.at[jnp.maximum(nd, 0)].get(
+                        mode="promise_in_bounds")
+                    code, m_l, m_r, skip = slab_k.slab_step(
+                        rows, oxs[0], oxs[1], oxs[2],
+                        ixs[0], ixs[1], ixs[2], t_best)
+                else:
+                    rows, icol = node_fields(jnp.maximum(nd, 0))
+                    m_l, m_r, skip = icol(12), icol(13), icol(14)
+                    code = slab_any2(rows, t_best, oxs, ixs,
+                                     ((m_l & 1) << 2) | ((m_r & 1) << 3))
                 hit_l = ((code & 1) != 0) & act
                 hit_r = ((code & 2) != 0) & act
                 leaf_l = (code & 4) != 0
