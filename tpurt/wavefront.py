@@ -297,14 +297,18 @@ def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
         return (bounce < max_depth) & jnp.any(q.alive)
 
     def body(c):
-        bounce, q, rad_out, nrays, hist = c
+        # rad_out is NOT in the carry: the bounce bodies never touch it
+        # (commits happen between the while_loops, at shrink boundaries)
+        # and an untouched 6 MB carry plane risks a while-carry copy per
+        # bounce (the round-3 profile priced that class at 10.6 ms)
+        bounce, q, nrays, hist = c
         # compact=False: packet order is traversal-irrelevant, so the
         # sort + 8 row permutes run ONCE per shrink below, not per bounce
         # (round-4, VERDICT weak #3)
         q, (live_rows, live_rays), cast = step(scene, q, bounce, rr_start,
                                                compact=False)
         hist = hist.at[bounce].set(live_rays)
-        return bounce + 1, q, rad_out, nrays + cast, hist
+        return bounce + 1, q, nrays + cast, hist
 
     def commit(rad_out, q, b):
         """Write queue rows [b:] home as packet rows (slot blocks are
@@ -312,13 +316,13 @@ def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
         spk = q.slot[b::trace.PACKET_R] // trace.PACKET_R
         return rad_out.at[spk].set(q.rad[b:].reshape(-1, rw))
 
-    def run(c, caps):
+    def run(c, rad_out, caps):
         if not caps:
-            return jax.lax.while_loop(cond, body, c)
+            return jax.lax.while_loop(cond, body, c), rad_out
         cap = caps[0]
         pk = c[1].o.shape[0] // trace.PACKET_R
         if pk <= cap:
-            return run(c, caps[1:])
+            return run(c, rad_out, caps[1:])
 
         def cond2(c):
             q = c[1]
@@ -328,20 +332,21 @@ def trace_chunk_staged(scene: Scene, queue: Queue, max_depth: int,
             return cond(c) & (live_pk > cap)
 
         c = jax.lax.while_loop(cond2, body, c)
-        bounce, q, rad_out, nrays, hist = c
+        bounce, q, nrays, hist = c
         q = _compact_packets(q)   # live packets to the front, ONCE
         b = cap * trace.PACKET_R
         rad_out = commit(rad_out, q, b)
         q = Queue(o=q.o[:b], d=q.d[:b], atten=q.atten[:b], rad=q.rad[:b],
                   pix=q.pix[:b], key=q.key[:, :b], alive=q.alive[:b],
                   slot=q.slot[:b])
-        return run((bounce, q, rad_out, nrays, hist), caps[1:])
+        return run((bounce, q, nrays, hist), rad_out, caps[1:])
 
     caps = [c for c in (pk0 // 2, pk0 // 4, pk0 // 8, pk0 // 16,
                         pk0 // 32) if c >= 8]
-    init = (jnp.int32(0), queue, jnp.zeros((pk0, rw), jnp.float32),
-            jnp.int32(0), jnp.zeros(max_depth, jnp.int32))
-    _, queue, rad_out, nrays, hist = run(init, caps)
+    init = (jnp.int32(0), queue, jnp.int32(0),
+            jnp.zeros(max_depth, jnp.int32))
+    (_, queue, nrays, hist), rad_out = run(
+        init, jnp.zeros((pk0, rw), jnp.float32), caps)
     rad_out = commit(rad_out, queue, 0)
     return rad_out.reshape(n, 3), nrays, hist
 
