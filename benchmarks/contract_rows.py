@@ -32,7 +32,7 @@ from bench_render import RESULTS, rmse_vs_oracle  # noqa: E402
 
 
 def run_contract(name: str, spp: int | None, reps: int,
-                 with_rmse: bool = True) -> dict:
+                 with_rmse: bool = True, span: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,15 +44,24 @@ def run_contract(name: str, spp: int | None, reps: int,
         cfg = cfg.replace(spp=spp)
 
     scene, cam = config.build_scene(cfg)
+    # span: samples per render_samples call (the checkpointable unit).
+    # One >2 min single dispatch crashed the TPU worker (c4 at 256 spp:
+    # the whole-frame wavefront fori is ONE device program); spanning
+    # keeps each dispatch bounded while timing the identical total work.
+    span = span or cfg.spp
     walls: list[float] = []
     if cfg.shard != "none":
         m = mesh.make_mesh()
         film, _ = mesh.render_samples_sharded(cfg, scene, cam, 0, 1, mesh=m)
         for _ in range(reps):
             t0 = time.perf_counter()
-            film, rays = mesh.render_samples_sharded(
-                cfg, scene, cam, 1, 1 + cfg.spp, np.zeros_like(film),
-                mesh=m)
+            film = np.zeros_like(film)
+            rays = 0
+            for s0 in range(1, 1 + cfg.spp, span):
+                film, r = mesh.render_samples_sharded(
+                    cfg, scene, cam, s0, min(s0 + span, 1 + cfg.spp),
+                    film, mesh=m)
+                rays += r
             walls.append(time.perf_counter() - t0)
         devices = m.size
     else:
@@ -61,8 +70,13 @@ def run_contract(name: str, spp: int | None, reps: int,
         jax.block_until_ready(film)
         for _ in range(reps):
             t0 = time.perf_counter()
-            film, rays = render.render_samples(
-                cfg, scene, cam, 1, 1 + cfg.spp, jnp.zeros_like(film))
+            film = jnp.zeros_like(film)
+            rays = 0
+            for s0 in range(1, 1 + cfg.spp, span):
+                film, r = render.render_samples(
+                    cfg, scene, cam, s0, min(s0 + span, 1 + cfg.spp),
+                    film)
+                rays += r
             float(jnp.sum(film))
             walls.append(time.perf_counter() - t0)
         devices = 1
@@ -80,7 +94,7 @@ def run_contract(name: str, spp: int | None, reps: int,
         "wall_s": round(wall, 3),
         "walls_s": [round(w, 3) for w in walls],
         "devices": devices,
-        "config": {"preset": name, "spp": cfg.spp},
+        "config": {"preset": name, "spp": cfg.spp, "span": span},
     }
     if with_rmse:
         rec["rmse_vs_oracle"] = round(rmse_vs_oracle(cfg), 6)
@@ -93,6 +107,9 @@ def main() -> None:
     ap.add_argument("configs", nargs="+")
     ap.add_argument("--spp", type=int, default=None,
                     help="override the preset spp (c5 wall-budget runs)")
+    ap.add_argument("--span", type=int, default=None,
+                    help="samples per dispatch-group call (bound single-"
+                         "dispatch walls under ~2 min; see run_contract)")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-rmse", dest="rmse", action="store_false",
                     default=True)
@@ -102,7 +119,7 @@ def main() -> None:
     with open(RESULTS / "history.jsonl", "a") as f:
         for name in args.configs:
             rec = run_contract(name, args.spp, args.reps,
-                               with_rmse=args.rmse)
+                               with_rmse=args.rmse, span=args.span)
             f.write(json.dumps(rec) + "\n")
 
 

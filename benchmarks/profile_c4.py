@@ -12,6 +12,26 @@ Usage:
     python benchmarks/profile_c4.py [outdir=/tmp/xprof-c4]
     python benchmarks/profile_parse.py /tmp/xprof-c4/wavefront
     python benchmarks/profile_parse.py /tmp/xprof-c4/mega
+
+RESULTS (2026-08-18, post rad_out-carry fix + round-4 fusion fixes):
+
+    c4_wavefront 8.75 Mrays/s (best 1.094 s) — up from round 3's 7.68;
+    c4_mega      9.376 (1.021 s) — the gap narrowed -19% -> -6.7%.
+
+    Profile diff (identical workload, one frame pass each):
+      kernels 257,053 vs 257,546 — SAME; every traversal class equal
+      (iota_reduce 220 vs 222 ms, or_reduce 137 vs 135, slice_reduce
+      131.8 vs 132.4, select_reduce 98 vs 99).
+      Residual: generic 'fusion' 218.6 vs 175.3 ms (+43) and reshape
+      43.5 vs 34.4 (+9) — the per-bounce queue bookkeeping: the queue
+      carries pix/slot/rad planes the megakernel does not, and step()
+      updates 8 SoA planes per bounce vs the mega body's 7.
+
+VERDICT: the wavefront's remaining ~6% vs mega is STRUCTURAL to the
+queue surface (its per-bounce elementwise plane traffic), not to
+compaction scheduling (deleted round 4), radiance commits (packet-row
+since round 3), or traversal (bit-shared). Config 4's contract mode is
+within ~7% of the repo's own optimum for the same physics.
 """
 
 from __future__ import annotations
