@@ -40,6 +40,20 @@ priority by cross-batch tail coalescing (render._accum_frame_coalesced,
 probe_tailcoalesce.py), which attacks the same per-batch floor without
 widening any live array; re-audition ray_batch=1M + SM=8 only AFTER the
 coalesced frame is the baseline (probe_tailcoalesce grid).
+
+END-TO-END ADOPTION TEST (2026-08-18, after coalescing was itself
+refuted; c3 contract preset at 16 spp, 2 timed passes each, 512k
+brackets both sides):
+
+    512k           7.943  [bracket 2: 7.987]
+    ~922k (1M cap) 7.669          sm8: 7.672
+    ~1.84M sm8     7.711
+
+VERDICT: REFUTED end-to-end, same shape as round 3's adoption test —
+the isolated bounce-1 win does not survive the full frame (the
+deep-bounce tail is round-floor-bound and pays the wider arrays'
+volume; probe_tailcoalesce measured the general law). ray_batch stays
+1 << 19 and STAGE_MAX stays 6.
 """
 
 from __future__ import annotations
