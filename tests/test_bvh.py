@@ -220,3 +220,67 @@ def test_wide_single_leaf_tree():
     assert pk8.n_nodes == 1 and pk8.leaves.shape[0] == 1
     metas = pk8.nodes[:, 48:56].view(np.int32)
     assert metas[0, 0] == 1 and np.all(metas[0, 1:] == -1)
+
+def test_octant_tables_invariants(micro_mesh):
+    """build_packet(octants=True): octant 0 IS the base table bit-exactly;
+    every octant re-flatten is the same topology (same row count, same
+    multiset of child boxes and leaf references, valid skip spans)."""
+    pk = bvh.build_packet(*_soup(micro_mesh), octants=True)
+    assert pk.oct_nodes is not None and pk.oct_nodes.shape == (
+        8, pk.n_nodes, 16)
+    assert pk.oct_cut is not None and pk.oct_cut.shape == (8, 8, 2)
+    # bitwise compare: the int-payload columns (metas, skip) hold bit
+    # patterns that are NaN as f32 (skip -1 = 0xffffffff)
+    assert np.array_equal(pk.oct_nodes[0].view(np.uint32),
+                          pk.nodes.view(np.uint32))
+    assert np.array_equal(pk.oct_cut[0], pk.cut)
+    mi = pk.n_nodes
+
+    def leaf_multiset(tab):
+        metas = tab[:, 12:14].view(np.int32)
+        return sorted((m >> 1) for m in metas.reshape(-1) if m & 1)
+
+    base_leaves = leaf_multiset(pk.nodes)
+    base_boxes = np.sort(
+        np.concatenate([pk.nodes[:, 0:6], pk.nodes[:, 6:12]]), axis=0)
+    for o in range(1, 8):
+        tab = pk.oct_nodes[o]
+        assert leaf_multiset(tab) == base_leaves
+        boxes = np.sort(
+            np.concatenate([tab[:, 0:6], tab[:, 6:12]]), axis=0)
+        assert np.array_equal(boxes, base_boxes)
+        skip = tab[:, 14].view(np.int32)
+        assert np.all((skip == -1) | ((skip > np.arange(mi)) & (skip < mi)))
+
+
+def test_octant_traversal_matches_base(micro_mesh):
+    """OCT_ENABLE traversal returns the exact same winners as the base
+    left-first order — child visit order only changes WHEN t_best
+    tightens, never the strict-< winner. Covers both the multi-cursor
+    narrow path (1024 rays = 8 packets <= MC_PACKETS) and the full-width
+    staged path (16384 rays = 128 packets > MC_PACKETS)."""
+    from tpurt.kernels import traverse
+
+    v, f = micro_mesh
+    old = traverse.OCT_ENABLE
+    try:
+        traverse.OCT_ENABLE = True
+        sc, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+        sc = sc.device()
+        assert sc.pk_oct_nodes is not None
+        for n in (1024, 16384):
+            o, d = _rand_rays(n)
+            t_max = jnp.full(n, geometry.INF)
+            traverse.OCT_ENABLE = True
+            a = traverse.packet_nearest_tri(sc, o, d, t_max)
+            traverse.OCT_ENABLE = False
+            b = traverse.packet_nearest_tri(sc, o, d, t_max)
+            ta, na, ma, fa, ga = (np.asarray(x) for x in a)
+            tb, nb, mb, fb, gb = (np.asarray(x) for x in b)
+            assert np.array_equal(fa, fb)
+            assert np.array_equal(ta[fb], tb[fb])
+            assert np.array_equal(ga[fb], gb[fb])
+            assert np.array_equal(ma[fb], mb[fb])
+            assert np.array_equal(na[fb], nb[fb])
+    finally:
+        traverse.OCT_ENABLE = old

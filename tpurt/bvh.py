@@ -27,7 +27,7 @@ SURVEY.md §3.5); the arrays live in HBM for the device traversal loop.
 from __future__ import annotations
 
 import sys
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -429,6 +429,16 @@ class PacketBVH(NamedTuple):
     leaves: np.ndarray   # (L, PACKET_LEAF_N*10) f32
     n_nodes: int
     cut: np.ndarray      # (8, 2) int32
+    # Optional octant-ordered tables (build_packet(octants=True)):
+    # oct_nodes[o] is the SAME topology re-flattened so that, for a ray
+    # whose direction-sign octant is o (bit a set = d[a] < 0), the NEAR
+    # child by the node's SAH split axis always sits in the L slots —
+    # left-first descent then IS front-to-back, tightening t_best
+    # earlier and letting the slab test cull far subtrees. Leaf rows are
+    # shared (leaf ids identical across octants); only inner-row order,
+    # metas, skips and cuts differ. oct_nodes[0] == nodes bit-exactly.
+    oct_nodes: Optional[np.ndarray] = None   # (8, Mi, 16) f32
+    oct_cut: Optional[np.ndarray] = None     # (8, 8, 2) int32
 
 
 def _uniq_keep_order(a: np.ndarray) -> np.ndarray:
@@ -439,8 +449,13 @@ def _uniq_keep_order(a: np.ndarray) -> np.ndarray:
 
 
 def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
-                 presplit: float = None) -> PacketBVH:
+                 presplit: float = None,
+                 octants: bool = False) -> PacketBVH:
     """Build the CIP packet layout (binned-SAH topology).
+
+    octants=True additionally emits the 8 direction-octant re-flattens
+    (PacketBVH.oct_nodes/oct_cut docstring); the base table is always
+    octant 0, so nothing upstream changes.
 
     presplit > 0 runs the spatial-split reference pre-pass (SBVH-style,
     see presplit_refs): the SAH recursion then partitions clipped-box
@@ -472,6 +487,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
     n_kids: list = []
     leaf_runs: list = []
     n_leaf: list = []   # leaf row id or -1
+    n_axis: list = []   # SAH split axis (inner nodes; 0 for leaves)
 
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
@@ -485,6 +501,7 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
         n_hi.append(None)
         n_kids.append((-1, -1))
         n_leaf.append(-1)
+        n_axis.append(0)
         if idx.size <= leaf_n:
             n_lo[nid] = rlo[idx].min(axis=0)
             n_hi[nid] = rhi[idx].max(axis=0)
@@ -492,7 +509,8 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
             run = rtri[idx] if dedup is None else dedup(rtri[idx])
             leaf_runs.append(run)
         else:
-            left_idx, right_idx, _ = _split(idx)
+            left_idx, right_idx, axis = _split(idx)
+            n_axis[nid] = axis
             left = rec(left_idx)
             right = rec(right_idx)
             n_kids[nid] = (left, right)
@@ -505,60 +523,101 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
     # --- CIP inner-row emission (DFS) --------------------------------------
     # A single-leaf tree has no inner rows; emit a degenerate root row
     # whose left child is the leaf and whose right child is an empty box.
-    row_lo_l: list = []
-    row_hi_l: list = []
-    row_lo_r: list = []
-    row_hi_r: list = []
-    row_meta: list = []     # (metaL, metaR) filled post-emit
-    row_of_nid: dict = {}
+    # Parameterized by the direction-sign octant: at an inner node split
+    # on axis a, the L slots hold the LOW-coordinate child unless bit a
+    # of swap_bits is set (ray direction negative along a => the high
+    # side is nearer), so left-first descent is front-to-back for that
+    # octant. swap_bits=0 is the production table (bit-identical to the
+    # round-3 emission).
+    def _emit_table(swap_bits: int):
+        row_lo_l: list = []
+        row_hi_l: list = []
+        row_lo_r: list = []
+        row_hi_r: list = []
+        row_meta: list = []     # (metaL, metaR) filled post-emit
 
-    def emit(nid: int) -> int:
-        row = len(row_meta)
-        row_meta.append(None)
-        row_of_nid[nid] = row
-        l, r = n_kids[nid]
-        row_lo_l.append(n_lo[l]); row_hi_l.append(n_hi[l])
-        row_lo_r.append(n_lo[r]); row_hi_r.append(n_hi[r])
-        mL = (n_leaf[l] << 1) | 1 if n_leaf[l] >= 0 else (emit(l) << 1)
-        mR = (n_leaf[r] << 1) | 1 if n_leaf[r] >= 0 else (emit(r) << 1)
-        row_meta[row] = (mL, mR)
-        return row
+        def emit(nid: int) -> int:
+            row = len(row_meta)
+            row_meta.append(None)
+            l, r = n_kids[nid]
+            if (swap_bits >> n_axis[nid]) & 1:
+                l, r = r, l
+            row_lo_l.append(n_lo[l]); row_hi_l.append(n_hi[l])
+            row_lo_r.append(n_lo[r]); row_hi_r.append(n_hi[r])
+            mL = (n_leaf[l] << 1) | 1 if n_leaf[l] >= 0 else (emit(l) << 1)
+            mR = (n_leaf[r] << 1) | 1 if n_leaf[r] >= 0 else (emit(r) << 1)
+            row_meta[row] = (mL, mR)
+            return row
 
-    if n_kids[root][0] >= 0:
-        emit(root)
-        mi = len(row_meta)
-    else:
-        inf = np.full(3, np.inf, np.float32)
-        row_lo_l.append(n_lo[root]); row_hi_l.append(n_hi[root])
-        row_lo_r.append(inf); row_hi_r.append(-inf)
-        row_meta.append(((n_leaf[root] << 1) | 1, (0 << 1) | 1))
-        # right child: empty box never hits, so its (bogus) leaf id is
-        # never enqueued
-        mi = 1
+        if n_kids[root][0] >= 0:
+            emit(root)
+            mi = len(row_meta)
+        else:
+            inf = np.full(3, np.inf, np.float32)
+            row_lo_l.append(n_lo[root]); row_hi_l.append(n_hi[root])
+            row_lo_r.append(inf); row_hi_r.append(-inf)
+            row_meta.append(((n_leaf[root] << 1) | 1, (0 << 1) | 1))
+            # right child: empty box never hits, so its (bogus) leaf id
+            # is never enqueued
+            mi = 1
+
+        # subtree row spans: DFS property — a row's subtree occupies
+        # [row, row + inner_size); sizes in reverse emission order
+        size = np.ones(mi, np.int64)
+        for row in range(mi - 1, -1, -1):
+            mL, mR = row_meta[row]
+            if not (mL & 1):
+                size[row] += size[mL >> 1]
+            if not (mR & 1):
+                size[row] += size[mR >> 1]
+        skip = np.arange(mi, dtype=np.int64) + size
+        skip = np.where(skip >= mi, -1, skip).astype(np.int32)
+
+        nodes = np.zeros((mi, 16), np.float32)
+        nodes[:, 0:3] = np.stack(row_lo_l)
+        nodes[:, 3:6] = np.stack(row_hi_l)
+        nodes[:, 6:9] = np.stack(row_lo_r)
+        nodes[:, 9:12] = np.stack(row_hi_r)
+        nodes[:, 12] = np.asarray([m[0] for m in row_meta],
+                                  np.int32).view(np.float32)
+        nodes[:, 13] = np.asarray([m[1] for m in row_meta],
+                                  np.int32).view(np.float32)
+        nodes[:, 14] = skip.view(np.float32)
+
+        # K-way row-span cut (multi-cursor tail): split the largest span
+        # at its top row — [s, mid) keeps the top row (whose leaf-child
+        # enqueues must still happen) + the left subtree; [mid, e) is
+        # the right child's subtree when inner, else just the left
+        # subtree split off the top row.
+        pieces = [(0, mi)]
+        while len(pieces) < 8:
+            pieces.sort(key=lambda se: se[0] - se[1])   # largest first
+            for i, (s, e) in enumerate(pieces):
+                if e - s < 2:
+                    continue
+                mL, mR = row_meta[s]
+                if not (mR & 1) and s < (mR >> 1) < e:
+                    mid = mR >> 1
+                else:
+                    mid = s + 1
+                pieces.pop(i)
+                pieces.extend([(s, mid), (mid, e)])
+                break
+            else:
+                break
+        cut = np.full((8, 2), -1, np.int32)
+        for i, (s, e) in enumerate(sorted(pieces)):
+            cut[i] = (s, e)
+        return nodes, cut
+
+    nodes, cut = _emit_table(0)
+    oct_nodes = oct_cut = None
+    if octants:
+        tabs = [(nodes, cut)] + [_emit_table(o) for o in range(1, 8)]
+        oct_nodes = np.stack([t[0] for t in tabs])      # (8, mi, 16)
+        oct_cut = np.stack([t[1] for t in tabs])        # (8, 8, 2)
     sys.setrecursionlimit(old)
-
-    # subtree row spans: DFS property — a row's subtree occupies
-    # [row, row + inner_size); compute sizes in reverse emission order
-    size = np.ones(mi, np.int64)
-    for row in range(mi - 1, -1, -1):
-        mL, mR = row_meta[row]
-        if not (mL & 1):
-            size[row] += size[mL >> 1]
-        if not (mR & 1):
-            size[row] += size[mR >> 1]
-    skip = np.arange(mi, dtype=np.int64) + size
-    skip = np.where(skip >= mi, -1, skip).astype(np.int32)
-
-    nodes = np.zeros((mi, 16), np.float32)
-    nodes[:, 0:3] = np.stack(row_lo_l)
-    nodes[:, 3:6] = np.stack(row_hi_l)
-    nodes[:, 6:9] = np.stack(row_lo_r)
-    nodes[:, 9:12] = np.stack(row_hi_r)
-    nodes[:, 12] = np.asarray([m[0] for m in row_meta],
-                              np.int32).view(np.float32)
-    nodes[:, 13] = np.asarray([m[1] for m in row_meta],
-                              np.int32).view(np.float32)
-    nodes[:, 14] = skip.view(np.float32)
+    mi = nodes.shape[0]
 
     # --- packed leaf rows ---------------------------------------------------
     # component-major, 12 f32 slots per triangle: slot k holds component k
@@ -588,35 +647,10 @@ def build_packet(v0, v1, v2, mat, leaf_n: int = PACKET_LEAF_N,
         leaves[rows_r, 10, offs] = all_run.astype(np.int32).view(
             np.float32)
 
-    # --- K-way row-span cut (multi-cursor tail) -----------------------------
-    # Split the largest span at its top row: [e, mid) keeps the top row
-    # (whose leaf-child enqueues must still happen) + the left subtree;
-    # [mid, end) is the right child's subtree when inner, else just the
-    # left subtree split off the top row.
-    meta_arr = row_meta
-    pieces = [(0, mi)]
-    while len(pieces) < 8:
-        pieces.sort(key=lambda se: se[0] - se[1])   # largest first
-        for i, (s, e) in enumerate(pieces):
-            if e - s < 2:
-                continue
-            mL, mR = meta_arr[s]
-            if not (mR & 1) and s < (mR >> 1) < e:
-                mid = mR >> 1
-            else:
-                mid = s + 1
-            pieces.pop(i)
-            pieces.extend([(s, mid), (mid, e)])
-            break
-        else:
-            break
-    cut = np.full((8, 2), -1, np.int32)
-    for i, (s, e) in enumerate(sorted(pieces)):
-        cut[i] = (s, e)
-
     return PacketBVH(nodes=nodes,
                      leaves=leaves.reshape(n_rows, LEAF_F * leaf_n),
-                     n_nodes=mi, cut=cut)
+                     n_nodes=mi, cut=cut,
+                     oct_nodes=oct_nodes, oct_cut=oct_cut)
 
 
 WIDE_FANOUT = 8

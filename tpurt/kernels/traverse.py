@@ -127,6 +127,16 @@ WIDE_ENABLE = False
 # extraction + slab + lane reduce + meta decode into one launch.
 # Decided by benchmarks/probe_slabk.py.
 SLABK_ENABLE = False
+# Octant-ordered traversal (bvh.PacketBVH.oct_nodes): each packet walks
+# the re-flatten whose child order is front-to-back for its majority
+# direction-sign octant, tightening t_best earlier so the slab test
+# culls far subtrees — the first lever that shrinks the per-packet
+# footprint union itself rather than rescheduling it. Scene builds ship
+# the 8 tables only when this is set (scene.py, same contract as
+# WIDE_ENABLE). Round-1's octant layouts lost under the old
+# one-box-per-row per-ray design and were deleted; this re-audition is
+# under CIP + per-round drains (benchmarks/probe_octant.py decides).
+OCT_ENABLE = False
 MC_K = 8        # subtree cursors per packet (multi-cursor traversal)
 # Multi-cursor only pays for traversals that START narrow (deep-bounce
 # tail batches): at full width it was re-measured a LOSS in round 2
@@ -261,6 +271,16 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     leaves = scene.pk8_leaves if wide else scene.pk_leaves
     cut = scene.pk8_cut if wide else scene.pk_cut
     n_total = nodes.shape[0]
+    use_oct = (OCT_ENABLE and not wide
+               and getattr(scene, "pk_oct_nodes", None) is not None)
+    if use_oct:
+        # 8 octant re-flattens stacked as one (8*Mi, 16) gather array;
+        # cursors carry ABSOLUTE rows (octant base + relative row; the
+        # base is rederived per step by floor-dividing end, not carried)
+        # so the loop carry is unchanged. Leaf rows are shared across
+        # octants.
+        nodes = scene.pk_oct_nodes
+        cut = scene.pk_oct_cut                     # (8, 8, 2) per octant
     use_mc = cut is not None
     adv_steps = ADV_STEPS if not wide else (
         ADV_STEPS_WIDE if nodes.shape[1] == 64 else ADV_STEPS_WIDE4)
@@ -406,7 +426,20 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
                 go_r = hit_r & ~leaf_r
                 nxt = jnp.where(go_l, m_l >> 1,
                                 jnp.where(go_r, m_r >> 1, skip))
-                nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
+                if use_oct:
+                    # metas/skip are table-relative; cursors are absolute
+                    # (base rederived from end — not carried). end is
+                    # base + Mi at full width but base + e for a
+                    # multi-cursor sub-span [s, e), so floor-divide:
+                    # end - 1 lands inside the octant's Mi-row block for
+                    # any non-empty span. A relative skip of -1 lands at
+                    # base - 1 < base: dead. (Dead cursors may derive a
+                    # garbage base; their nxt is never committed.)
+                    base = ((end - 1) // n_total) * n_total
+                    nxt = nxt + base
+                    nxt = jnp.where((nxt < base) | (nxt >= end), -1, nxt)
+                else:
+                    nxt = jnp.where((nxt < 0) | (nxt >= end), -1, nxt)
                 first = jnp.where(e_l, m_l >> 1, m_r >> 1)  # first enqueue
                 second = m_r >> 1                           # when e_l & e_r
                 do1 = ok & (e_l | e_r)
@@ -727,9 +760,21 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         def t8(a):
             return jnp.tile(a, (MC_K, 1))
 
-        node_v = jnp.repeat(cut[:, 0], cp)              # (K*cp,)
-        node_v = jnp.where(node_v < 0, -1, node_v)
-        end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
+        if use_oct:
+            # per-packet octant spans: cut is (8, MC_K, 2) and cursors
+            # are absolute — rebuild the k-major (K*cp,) layout with the
+            # packet's base (= end - Mi) added to non-empty spans
+            base_p = end - n_total                       # (cp,)
+            co = cut[base_p // n_total]                  # (cp, MC_K, 2)
+            rel0 = co[:, :, 0].T                         # (MC_K, cp)
+            node_v = jnp.where(rel0 < 0, -1,
+                               rel0 + base_p[None, :]).reshape(-1)
+            end_v = (jnp.maximum(co[:, :, 1].T, 0)
+                     + base_p[None, :]).reshape(-1)
+        else:
+            node_v = jnp.repeat(cut[:, 0], cp)           # (K*cp,)
+            node_v = jnp.where(node_v < 0, -1, node_v)
+            end_v = jnp.repeat(jnp.maximum(cut[:, 1], 0), cp)
         vp = MC_K * cp
         neg = jnp.full(vp, -1, jnp.int32)
         ziv = jnp.zeros(vp, jnp.int32)
@@ -767,9 +812,29 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     zero = jnp.zeros((p, PACKET_R), jnp.float32)
     neg1 = jnp.full(p, -1, jnp.int32)
     zi = jnp.zeros(p, jnp.int32)
+    if use_oct:
+        # majority direction-sign octant per packet (bit a = most rays
+        # have d[a] < 0); any choice is exact — the order only decides
+        # which child the packet visits first. The vote counts LIVE
+        # lanes only (t_max > 0; trace.intersect's dead-lane contract):
+        # deep-bounce packets are mostly dead lanes whose stale
+        # directions would otherwise swamp the vote. Ties and all-dead
+        # packets resolve to the positive octant (bit clear), which at
+        # full liveness is bit-identical to an unweighted > R/2 vote.
+        tm2 = t_max.reshape(p, PACKET_R)
+        live = (tm2 > 0).astype(jnp.int32)
+        n_live = jnp.sum(live, axis=1)
+        base0 = jnp.int32(0)
+        for b, dc in enumerate((dx, dy, dz)):
+            neg = jnp.sum((dc < 0).astype(jnp.int32) * live, axis=1)
+            maj = (2 * neg > n_live).astype(jnp.int32)
+            base0 = base0 | (maj << b)
+        base0 = base0 * n_total
+    else:
+        base0 = zi
     init = (
-        jnp.zeros(p, jnp.int32),
-        jnp.full(p, n_total, jnp.int32),
+        base0,
+        base0 + n_total,
         neg1, neg1, neg1, neg1, zi, zi,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         t_max.reshape(p, PACKET_R),

@@ -84,6 +84,12 @@ class Scene(NamedTuple):
     # padded-soup slot -> original triangle index (-1 padding); present
     # whenever a binary BVH is attached (feeds the per-ray oracle's gid)
     tri_src: Optional[np.ndarray]    # (Tp,) i32
+    # optional octant-ordered packet tables (bvh.PacketBVH.oct_nodes
+    # flattened to one gather array; kernels.traverse.OCT_ENABLE) — the
+    # 8 front-to-back re-flattens share pk_leaves; octant o's rows live
+    # at [o*Mi, (o+1)*Mi)
+    pk_oct_nodes: Optional[np.ndarray] = None   # (8*Mi, 16) f32
+    pk_oct_cut: Optional[np.ndarray] = None     # (8, 8, 2) i32
 
     @property
     def has_bvh(self) -> bool:
@@ -220,9 +226,18 @@ class SceneBuilder:
         pk_nodes = pk_leaves = pk_cut = None
         pk8_nodes = pk8_leaves = pk8_cut = None
         tri_src = None
+        pk_oct_nodes = pk_oct_cut = None
         if use_bvh:
-            pk = bvh_mod.build_packet(tv0, tv1, tv2, tm)
+            # octant tables ride the same build when the traversal flag
+            # asks for them (same contract as WIDE_ENABLE below); the
+            # base table is octant 0, bit-identical either way
+            from .kernels import traverse as _trav_oct
+            pk = bvh_mod.build_packet(tv0, tv1, tv2, tm,
+                                      octants=_trav_oct.OCT_ENABLE)
             pk_nodes, pk_leaves, pk_cut = pk.nodes, pk.leaves, pk.cut
+            if pk.oct_nodes is not None:
+                pk_oct_nodes = pk.oct_nodes.reshape(-1, 16)
+                pk_oct_cut = pk.oct_cut
             # The wide (8-ary) layout is a refuted production path
             # (kernels.traverse.WIDE_ENABLE, benchmarks/probe_fanout.py):
             # building it eagerly was a third full SAH recursion plus an
@@ -276,6 +291,7 @@ class SceneBuilder:
             pk_nodes=pk_nodes, pk_leaves=pk_leaves, pk_cut=pk_cut,
             pk8_nodes=pk8_nodes, pk8_leaves=pk8_leaves, pk8_cut=pk8_cut,
             tri_shn=tri_shn, tri_src=tri_src,
+            pk_oct_nodes=pk_oct_nodes, pk_oct_cut=pk_oct_cut,
         )
 
 
