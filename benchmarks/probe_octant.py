@@ -36,8 +36,11 @@ identical counter values both runs, walls within relay noise):
   bounce2  | 6.824/6.779  | 6.372/6.356 | 102 -> 81  | 22192 -> 21584
 
 gid_match = 1.0 on every row (bit-exact winners, as argued above).
-Scene build 1.6-1.9 s base -> 6.3-9.8 s with the 8 re-flattens (pure
-Python emit; flag-gated so only OCT builds pay it). VERDICT: the first
+Scene build: the logged 1.6-1.9 s -> 6.3-9.8 s delta was HOST
+CONTENTION (concurrent sessions), not emit cost — re-measured idle:
+all 8 emits cumulative 0.37 s via cProfile on an 81920-tri soup
+(0.046 s/table), full blob build 4.4 s base vs 3.6 s oct (noise).
+No native emit needed. VERDICT: the first
 probe in three rounds that shrinks the footprint-union volume integral
 itself — fewer rounds AND fewer node visits (sum_pp) at unchanged array
 widths, winning −24%/−5.4%/−6.4% isolated. End-to-end c3 adoption
