@@ -70,3 +70,39 @@ def test_tail_coalesce_composes_with_sample_spans(blob_scene, plain_frame):
         render.TAIL_COALESCE, render.TAIL_GROUP = old
     assert n1a + n1b == n0
     assert np.array_equal(np.asarray(f1), f0)
+
+
+def test_spmajor_bit_identical(blob_scene, plain_frame):
+    """Sample-major packets (render.SPMAJOR) must be invisible: the
+    regrouping only permutes rows WITHIN a chunk dispatch, and per pixel
+    the chunk's samples are summed in the same ascending order, so the
+    film and the ray count are bit-identical to the default layout.
+    Engages here as (256-pixel x 4-sample) chunks vs (1024 x 1)."""
+    scene, cam = blob_scene
+    f0, n0 = plain_frame
+    old = render.SPMAJOR
+    render.SPMAJOR = True
+    try:
+        f1, n1 = render.render_samples(CFG, scene, cam, 0, CFG.spp)
+    finally:
+        render.SPMAJOR = old
+    assert n1 == n0
+    assert np.array_equal(np.asarray(f1), f0)
+
+
+def test_spmajor_composes_with_sample_spans(blob_scene, plain_frame):
+    """Checkpoint/resume contract through the sample-major path: a
+    3-sample span (ragged c=3) plus a 1-sample span (c=1: spmajor
+    disengages, the span runs the default layout) accumulate to the
+    one-call film bit-exactly."""
+    scene, cam = blob_scene
+    f0, n0 = plain_frame
+    old = render.SPMAJOR
+    render.SPMAJOR = True
+    try:
+        f1, n1a = render.render_samples(CFG, scene, cam, 0, 3)
+        f1, n1b = render.render_samples(CFG, scene, cam, 3, CFG.spp, f1)
+    finally:
+        render.SPMAJOR = old
+    assert n1a + n1b == n0
+    assert np.array_equal(np.asarray(f1), f0)

@@ -106,12 +106,13 @@ def _order_pad_cached(width: int, height: int, block: int):
 
 @partial(jax.jit,
          static_argnames=("width", "height", "mode", "max_depth",
-                          "rr_start", "block", "c", "n_blocks"),
+                          "rr_start", "block", "c", "n_blocks", "spmajor"),
          donate_argnames=("film_flat", "nrays_acc"))
 def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
                  film_flat, nrays_acc, s0, n_chunks, seed,
                  width: int, height: int, mode: str, max_depth: int,
-                 rr_start, block: int, c: int, n_blocks: int):
+                 rr_start, block: int, c: int, n_blocks: int,
+                 spmajor: bool = False):
     """Trace n_chunks sample-chunks x n_blocks pixel-blocks and fold them
     into the film — the ENTIRE frame pass as ONE device dispatch.
 
@@ -150,9 +151,15 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
             p0 = bi * block
             pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
             valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
-            pixf = jnp.tile(pix, c)                   # (B*C,) sample-major
-            validf = jnp.tile(valid, c)
-            smp = jnp.repeat(sample_ids, block)
+            if spmajor:
+                # pixel-major rows: packet = one pixel's c samples
+                pixf = jnp.repeat(pix, c)
+                validf = jnp.repeat(valid, c)
+                smp = jnp.tile(sample_ids, block)
+            else:
+                pixf = jnp.tile(pix, c)               # (B*C,) sample-major
+                validf = jnp.tile(valid, c)
+                smp = jnp.repeat(sample_ids, block)
             keys = rng.make_streams(seed, pixf, smp)
             jit2 = rng.camera_draws(keys)
             o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
@@ -164,7 +171,10 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
             else:
                 rad, nrays = trace.trace(scene, o, d, keys, max_depth,
                                          rr_start, valid=validf)
-            rad = rad.reshape(c, block, 3).sum(axis=0)
+            if spmajor:
+                rad = rad.reshape(block, c, 3).sum(axis=1)
+            else:
+                rad = rad.reshape(c, block, 3).sum(axis=0)
             old = jax.lax.dynamic_slice(film_tiled, (p0, 0), (block, 3))
             film_tiled = jax.lax.dynamic_update_slice(
                 film_tiled, old + rad, (p0, 0))
@@ -209,6 +219,23 @@ TAIL_CUT = 3          # batches hand survivors over at this bounce
 TAIL_GROUP = 8        # batches whose tails merge into one span
 TAIL_STAGE_MAX = 8    # merged span enters much wider than its live set:
 #                       deeper compaction ladder than BOUNCE_STAGE_MAX
+
+# --- sample-major packets (round 4) ----------------------------------------
+# At contract sample counts (spp >= SPMAJOR_C) a 512k batch can be laid
+# out pixel-major: chunk = (block pixels x c samples) with rows grouped
+# by PIXEL, so a 128-row packet holds one pixel's samples instead of 128
+# tile-adjacent pixels of one sample. Primaries collapse to a sub-pixel
+# beam; bounce-1 rays leave from essentially one surface point. This is
+# the one ray regrouping that trades no spatial coherence away
+# (probe_resort refuted direction sorts for exactly that trade), and it
+# removes the order_pad tail entirely when block divides npix (c3: the
+# 512k block pads 921600 pixels to 1048576 — 12% born-dead rows; at
+# block 4096 x c 128 the frame divides exactly). Image-exact by the
+# counter-derived RNG contract: radiance depends only on
+# (seed, pixel, sample) and per pixel the chunk's samples are summed in
+# ascending order either way. Decided by benchmarks/probe_spmajor.py.
+SPMAJOR = False
+SPMAJOR_C = 128       # samples per pixel per chunk when engaged
 
 
 def coalesced_loop(scene: Scene, total, group: int, B: int, cut: int,
@@ -382,6 +409,15 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     pixel_block += (-pixel_block) % trace.PACKET_R
     spp_chunk = cfg.spp_chunk or max(1, ray_batch // pixel_block)
     spp_chunk = min(spp_chunk, max(1, sample_stop - sample_start))
+    spmajor = (SPMAJOR and cfg.mode in ("primary", "mega")
+               and cfg.spp_chunk is None
+               and sample_stop - sample_start >= 2)
+    if spmajor:
+        # pixel-major chunks: same ~ray_batch rows per dispatch body,
+        # shaped (block pixels x c samples) instead of (block x 1)
+        spp_chunk = min(SPMAJOR_C, sample_stop - sample_start)
+        pixel_block = max(trace.PACKET_R, ray_batch // spp_chunk)
+        pixel_block += (-pixel_block) % trace.PACKET_R
     order = _tile_order_cached(cfg.width, cfg.height)
 
     if cfg.mode in ("primary", "mega"):
@@ -405,7 +441,7 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
             if n_chunks == 0 or c == 0:
                 continue
             coalesce = (
-                TAIL_COALESCE and cfg.mode == "mega"
+                TAIL_COALESCE and cfg.mode == "mega" and not spmajor
                 and scene.pk_nodes is not None
                 and cfg.max_depth > TAIL_CUT + 1
                 and n_chunks * n_blocks > 1
@@ -426,6 +462,7 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
                     jnp.int32(s0), jnp.int32(n_chunks), seed,
                     cfg.width, cfg.height, cfg.mode, cfg.max_depth,
                     cfg.rr_start, pixel_block, c, n_blocks,
+                    spmajor=spmajor,
                 )
         return film_flat, int(nrays_acc)
 
