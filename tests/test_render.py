@@ -106,3 +106,22 @@ def test_spmajor_composes_with_sample_spans(blob_scene, plain_frame):
         render.SPMAJOR = old
     assert n1a + n1b == n0
     assert np.array_equal(np.asarray(f1), f0)
+
+
+def test_spmajor_wavefront_bit_identical(blob_scene):
+    """The wavefront chunk loop (_wavefront_frame) under SPMAJOR: queue
+    rows are pixel-major but trace_chunk_staged restores original queue
+    order, so the per-pixel sample sums — and the film — are
+    bit-identical to the default layout."""
+    scene, cam = blob_scene
+    cfg = CFG.replace(mode="wavefront", rr_start=3)
+    old = render.SPMAJOR
+    render.SPMAJOR = False
+    try:
+        f0, n0 = render.render_samples(cfg, scene, cam, 0, cfg.spp)
+        render.SPMAJOR = True
+        f1, n1 = render.render_samples(cfg, scene, cam, 0, cfg.spp)
+    finally:
+        render.SPMAJOR = old
+    assert n1 == n0
+    assert np.array_equal(np.asarray(f1), np.asarray(f0))

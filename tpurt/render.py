@@ -409,7 +409,7 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     pixel_block += (-pixel_block) % trace.PACKET_R
     spp_chunk = cfg.spp_chunk or max(1, ray_batch // pixel_block)
     spp_chunk = min(spp_chunk, max(1, sample_stop - sample_start))
-    spmajor = (SPMAJOR and cfg.mode in ("primary", "mega")
+    spmajor = (SPMAJOR and cfg.mode in ("primary", "mega", "wavefront")
                and cfg.spp_chunk is None
                and sample_stop - sample_start >= 2)
     if spmajor:
@@ -469,7 +469,8 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     if cfg.mode == "wavefront":
         return _render_wavefront(cfg, scene, cam, film_flat, order,
                                  pixel_block, spp_chunk,
-                                 sample_start, sample_stop, seed, stats_sink)
+                                 sample_start, sample_stop, seed, stats_sink,
+                                 spmajor=spmajor)
 
     # cfg.mode == "persist": the persistent wavefront streams each pixel
     # block's whole sample range through one fixed-capacity dispatch
@@ -498,12 +499,13 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "rr_start",
-                          "block", "c", "n_blocks"),
+                          "block", "c", "n_blocks", "spmajor"),
          donate_argnames=("film_flat",))
 def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
                      film_flat, s0, n_chunks, seed,
                      width: int, height: int, max_depth: int, rr_start,
-                     block: int, c: int, n_blocks: int):
+                     block: int, c: int, n_blocks: int,
+                     spmajor: bool = False):
     """All wavefront chunks of a sample range as ONE device dispatch.
 
     The (pixel-block x sample-chunk) loop runs on-device as a fori_loop
@@ -524,16 +526,25 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
                                                            dtype=jnp.int32)
         pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
         valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
-        pixf = jnp.tile(pix, c)
-        validf = jnp.tile(valid, c)
-        smp = jnp.repeat(sample_ids, block)
+        if spmajor:
+            # pixel-major rows: packet = one pixel's c samples
+            pixf = jnp.repeat(pix, c)
+            validf = jnp.repeat(valid, c)
+            smp = jnp.tile(sample_ids, block)
+        else:
+            pixf = jnp.tile(pix, c)
+            validf = jnp.tile(valid, c)
+            smp = jnp.repeat(sample_ids, block)
         keys = rng.make_streams(seed, pixf, smp)
         jit2 = rng.camera_draws(keys)
         o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
         q = wavefront.make_queue(o, d, pixf, keys, alive=validf)
         rad, cast, h = wavefront.trace_chunk_staged(
             scene, q, max_depth, rr_start)
-        rad = rad.reshape(c, block, 3).sum(axis=0)
+        if spmajor:
+            rad = rad.reshape(block, c, 3).sum(axis=1)
+        else:
+            rad = rad.reshape(c, block, 3).sum(axis=0)
         old = jax.lax.dynamic_slice(film_tiled, (p0, 0), (block, 3))
         film_tiled = jax.lax.dynamic_update_slice(
             film_tiled, old + rad, (p0, 0))
@@ -547,7 +558,7 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
 
 def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
                       spp_chunk, sample_start, sample_stop, seed,
-                      stats_sink):
+                      stats_sink, spmajor: bool = False):
     """Wavefront render loop: the whole sample range in one dispatch.
 
     Per-bounce queue passes, packet-granular liveness compaction and
@@ -579,7 +590,7 @@ def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
             scene, cam, order_pad, valid_pad, inv_order, film_flat,
             jnp.int32(s0), jnp.int32(n_chunks), seed,
             cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
-            block, c, n_blocks,
+            block, c, n_blocks, spmajor=spmajor,
         )
         total_rays = total_rays + nrays
         hist = hist + h
