@@ -80,12 +80,16 @@ def test_spmajor_bit_identical(blob_scene, plain_frame):
     Engages here as (256-pixel x 4-sample) chunks vs (1024 x 1)."""
     scene, cam = blob_scene
     f0, n0 = plain_frame
-    old = render.SPMAJOR
+    old, orig = render.SPMAJOR, render._accum_frame
+    engaged = []
     render.SPMAJOR = True
+    render._accum_frame = lambda *a, **k: (
+        engaged.append(k.get("spmajor", False)), orig(*a, **k))[1]
     try:
         f1, n1 = render.render_samples(CFG, scene, cam, 0, CFG.spp)
     finally:
-        render.SPMAJOR = old
+        render.SPMAJOR, render._accum_frame = old, orig
+    assert engaged and all(engaged)   # the flag actually took the path
     assert n1 == n0
     assert np.array_equal(np.asarray(f1), f0)
 
@@ -115,13 +119,19 @@ def test_spmajor_wavefront_bit_identical(blob_scene):
     bit-identical to the default layout."""
     scene, cam = blob_scene
     cfg = CFG.replace(mode="wavefront", rr_start=3)
-    old = render.SPMAJOR
+    old, orig = render.SPMAJOR, render._wavefront_frame
+    engaged = []
     render.SPMAJOR = False
+    render._wavefront_frame = lambda *a, **k: (
+        engaged.append(k.get("spmajor", False)), orig(*a, **k))[1]
     try:
         f0, n0 = render.render_samples(cfg, scene, cam, 0, cfg.spp)
+        assert engaged and not any(engaged)
+        engaged.clear()
         render.SPMAJOR = True
         f1, n1 = render.render_samples(cfg, scene, cam, 0, cfg.spp)
     finally:
-        render.SPMAJOR = old
+        render.SPMAJOR, render._wavefront_frame = old, orig
+    assert engaged and all(engaged)   # the flag actually took the path
     assert n1 == n0
     assert np.array_equal(np.asarray(f1), np.asarray(f0))

@@ -78,7 +78,7 @@ SUB_BLOCK = 1 << 17
 
 def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
                   width, height, mode: str, max_depth: int, rr_start,
-                  tail=None):
+                  tail=None, spmajor: bool = False):
     """Trace one device's (pixel-block × sample-slice); returns the
     per-pixel radiance sum (B,3) and rays-cast scalar. Pure SPMD body.
 
@@ -95,11 +95,24 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
     b = gpix.shape[0]
     c = sample_ids.shape[0]
 
+    def fold(rad, bb):
+        # per-pixel sample sum; both layouts sum ascending sample order
+        if spmajor:
+            return rad.reshape(bb, c, 3).sum(axis=1)
+        return rad.reshape(c, bb, 3).sum(axis=0)
+
     def trace_block(pix_blk, valid_blk):
         bb = pix_blk.shape[0]
-        pix = jnp.tile(pix_blk, c)
-        valid = jnp.tile(valid_blk, c)
-        smp = jnp.repeat(sample_ids, bb)
+        if spmajor:
+            # pixel-major rows: packet = one pixel's c samples
+            # (render.SPMAJOR; decided by benchmarks/probe_spmajor.py)
+            pix = jnp.repeat(pix_blk, c)
+            valid = jnp.repeat(valid_blk, c)
+            smp = jnp.tile(sample_ids, bb)
+        else:
+            pix = jnp.tile(pix_blk, c)
+            valid = jnp.tile(valid_blk, c)
+            smp = jnp.repeat(sample_ids, bb)
         keys = rng.make_streams(seed, pix, smp)
         jit2 = rng.camera_draws(keys)
         o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
@@ -108,19 +121,23 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
             rad = jnp.where(valid[:, None], rad, 0.0)
             nrays = jnp.sum(valid, dtype=jnp.int32)
         elif mode == "wavefront":
-            lpix = jnp.tile(jnp.arange(bb, dtype=jnp.int32), c)
+            ar = jnp.arange(bb, dtype=jnp.int32)
+            lpix = jnp.repeat(ar, c) if spmajor else jnp.tile(ar, c)
             queue = wavefront.make_queue(o, d, lpix, keys, alive=valid)
             rad, nrays = wavefront.trace_static(scene, queue,
                                                 max_depth, rr_start)
-            # rad is in original queue order (sample-major): reduce the
-            # sample axis like the mega branch — no per-ray segment_sum
-            return rad.reshape(c, bb, 3).sum(axis=0), nrays
+            # rad is in original queue order: reduce the sample axis
+            # like the mega branch — no per-ray segment_sum
+            return fold(rad, bb), nrays
         else:
             rad, nrays = trace.trace(scene, o, d, keys, max_depth,
                                      rr_start, valid=valid)
-        return rad.reshape(c, bb, 3).sum(axis=0), nrays
+        return fold(rad, bb), nrays
 
-    if b <= SUB_BLOCK or b % SUB_BLOCK != 0:
+    # sub-block size: keep rows-per-dispatch-body ~constant when the
+    # sample axis widens (spmajor chunks carry c>1 samples per pixel)
+    sb = max(trace.PACKET_R, SUB_BLOCK // c) if spmajor else SUB_BLOCK
+    if b <= sb or b % sb != 0:
         return trace_block(gpix, gvalid)
 
     from . import render as render_mod
@@ -129,7 +146,8 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
         tail = (render_mod.TAIL_COALESCE, render_mod.TAIL_CUT,
                 render_mod.TAIL_GROUP, render_mod.TAIL_STAGE_MAX)
     t_on, t_cut, t_group, t_sm = tail
-    if (t_on and mode == "mega" and scene.pk_nodes is not None
+    if (t_on and mode == "mega" and not spmajor
+            and scene.pk_nodes is not None
             and max_depth > t_cut + 1):
         # Cross-batch tail coalescing over the sub-block axis (see the
         # module comment in render.py): each sub-block traces bounces
@@ -171,33 +189,33 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
 
     def body(bi, carry):
         rad_acc, nrays_acc = carry
-        p0 = bi * SUB_BLOCK
+        p0 = bi * sb
         rad, nrays = trace_block(
-            jax.lax.dynamic_slice(gpix, (p0,), (SUB_BLOCK,)),
-            jax.lax.dynamic_slice(gvalid, (p0,), (SUB_BLOCK,)),
+            jax.lax.dynamic_slice(gpix, (p0,), (sb,)),
+            jax.lax.dynamic_slice(gvalid, (p0,), (sb,)),
         )
         rad_acc = jax.lax.dynamic_update_slice(rad_acc, rad, (p0, 0))
         return rad_acc, nrays_acc + nrays
 
     return jax.lax.fori_loop(
-        0, b // SUB_BLOCK, body,
+        0, b // sb, body,
         (jnp.zeros((b, 3), jnp.float32), jnp.int32(0)),
     )
 
 
 @partial(jax.jit,
          static_argnames=("mesh", "mode", "max_depth", "rr_start",
-                          "width", "height", "tail"))
+                          "width", "height", "tail", "spmajor"))
 def _tiles_chunk(scene: Scene, cam, gpix_pad, gvalid_pad, sample_ids, seed,
                  mesh: Mesh, mode: str, max_depth: int, rr_start,
-                 width: int, height: int, tail=None):
+                 width: int, height: int, tail=None, spmajor: bool = False):
     """One sample-chunk over the pixel-sharded frame."""
 
     def body(scene, cam, gpix_block, gvalid_block, sample_ids, seed):
         rad, nrays = _device_trace(scene, cam, gpix_block, gvalid_block,
                                    sample_ids, seed,
                                    width, height, mode, max_depth, rr_start,
-                                   tail=tail)
+                                   tail=tail, spmajor=spmajor)
         return rad, jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(
@@ -317,19 +335,33 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
         gpix = jax.device_put(gpix, sharded)
         gvalid = jax.device_put(gvalid, sharded)
         spp_chunk = max(1, cfg.ray_batch // max(1, block))
+        spmajor = (render_mod.SPMAJOR
+                   and cfg.mode in ("primary", "mega", "wavefront")
+                   and not cfg.spp_chunk
+                   and sample_stop - sample_start >= 2)
         film_pad = jax.device_put(np.zeros((npix_pad, 3), np.float32),
                                   sharded)
-        for s0 in range(sample_start, sample_stop, spp_chunk):
-            s1 = min(s0 + spp_chunk, sample_stop)
+        s0 = sample_start
+        while s0 < sample_stop:
+            if spmajor:
+                # pixel-major chunks: power-of-two sample widths so the
+                # per-chip sub-block (SUB_BLOCK // c) tiles the block
+                cs = min(render_mod.SPMAJOR_C, sample_stop - s0)
+                cs = 1 << (cs.bit_length() - 1)
+            else:
+                cs = min(spp_chunk, sample_stop - s0)
+            s1 = s0 + cs
             sample_ids = jax.device_put(np.arange(s0, s1, dtype=np.int32),
                                         repl)
             rad, nrays = _tiles_chunk(
                 scene, cam, gpix, gvalid, sample_ids, seed, mesh,
                 cfg.mode, cfg.max_depth, cfg.rr_start,
                 cfg.width, cfg.height, tail=_tail_params(),
+                spmajor=spmajor,
             )
             film_pad = film_pad + rad
             total_rays += int(nrays)
+            s0 = s1
         # rows of film_pad follow the tile-order enumeration; un-permute on
         # the host (the film is being fetched anyway, and a device-side
         # un-permute would allocate on the DEFAULT backend, breaking

@@ -410,7 +410,7 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     spp_chunk = cfg.spp_chunk or max(1, ray_batch // pixel_block)
     spp_chunk = min(spp_chunk, max(1, sample_stop - sample_start))
     spmajor = (SPMAJOR and cfg.mode in ("primary", "mega", "wavefront")
-               and cfg.spp_chunk is None
+               and not cfg.spp_chunk
                and sample_stop - sample_start >= 2)
     if spmajor:
         # pixel-major chunks: same ~ray_batch rows per dispatch body,
