@@ -186,3 +186,27 @@ def test_tiles_sharded_spmajor_subblock_loop(sp):
     assert any(engaged)           # the flag actually took the path
     assert s1["rays"] == s0["rays"]
     assert np.array_equal(f1, f0)
+
+
+def test_tiles_sharded_octant_bit_identical():
+    """OCT_ENABLE under shard_map (c5's adopted shape: sharded tiles
+    over a BVH mesh scene): the octant tables ride the replicated scene
+    pytree and the sharded film is bit-identical to the base order."""
+    from tpurt.kernels import traverse
+
+    cfg = config.RenderConfig(width=48, height=32, spp=4, max_depth=6,
+                              scene="blob", mesh_subdiv=2, seed=4,
+                              mode="mega", shard="tiles")
+    mesh = mesh_mod.make_mesh(8)
+    old = traverse.OCT_ENABLE
+    try:
+        traverse.OCT_ENABLE = True
+        scene, cam = config.build_scene(cfg)   # builds the 8 tables
+        assert scene.pk_oct_nodes is not None
+        f1, s1 = mesh_mod.render_sharded(cfg, scene, cam, mesh)
+        traverse.OCT_ENABLE = False
+        f0, s0 = mesh_mod.render_sharded(cfg, scene, cam, mesh)
+    finally:
+        traverse.OCT_ENABLE = old
+    assert s1["rays"] == s0["rays"]
+    assert np.array_equal(f1, f0)
