@@ -5,11 +5,18 @@ host-fetch sync) without the RMSE pass or history append — for fast
 iteration between perf commits. Usage:
 
     python benchmarks/quick_tpu.py c1-primary c3-mesh
+
+Env toggles for adoption measurements (each process times one setting,
+so jit caches can never go stale across a flag flip):
+    TPURT_OCT=1       set kernels.traverse.OCT_ENABLE before scene build
+    TPURT_SPMAJOR=1   set render.SPMAJOR (sample-major packets)
+    TPURT_SPP=N       override the timed sample budget (e.g. contract 128)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,10 +32,19 @@ def main() -> None:
     import numpy as np
 
     from tpurt import config, mesh, render
+    from tpurt.kernels import traverse
+
+    if os.environ.get("TPURT_OCT") == "1":
+        traverse.OCT_ENABLE = True
+    if os.environ.get("TPURT_SPMAJOR") == "1":
+        render.SPMAJOR = True
+    spp_over = int(os.environ.get("TPURT_SPP", "0"))
 
     names = sys.argv[1:] or ["c3-mesh"]
     for name in names:
         cfg = bench_config(name)
+        if spp_over:
+            cfg = cfg.replace(spp=spp_over)
         scene, cam = config.build_scene(cfg)
         if cfg.shard != "none":
             m = mesh.make_mesh()
