@@ -45,6 +45,22 @@ probe in three rounds that shrinks the footprint-union volume integral
 itself — fewer rounds AND fewer node visits (sum_pp) at unchanged array
 widths, winning −24%/−5.4%/−6.4% isolated. End-to-end c3 adoption
 decision appended below per the CLAUDE.md protocol.
+
+END-TO-END ADOPTION (2026-08-19, quick_tpu c3-mesh, TPURT_SPP=128
+contract workload, one process per flag setting, 2 reps each):
+
+  OCT=0: 8.092 / 8.092 Mrays/s   (walls 34.966 / 34.963 s)
+  OCT=1: 8.281 / 8.284 Mrays/s   (walls 34.166 / 34.156 s)
+
++2.35%, exactly reproducible across reps — ADOPTED
+(kernels.traverse.OCT_ENABLE = True). The e2e share is smaller than
+the isolated wins because the deep-bounce tail's wall is its ROUND
+floor at narrow widths (BASELINE.md ceiling model), where octant's
+sum_pp cut buys less; rays_cast moved 282936300 -> 282936301 (one
+exact f32 t-tie winner flipped one path's RR stream — the documented
+exactness boundary; films stay bit-identical on every pinned test).
+Composition with SPMAJOR measured in probe_spmajor.py (both lose —
+the loss is SPMAJOR's own).
 """
 
 from __future__ import annotations

@@ -24,6 +24,17 @@ with OCT_ENABLE both off and on (the two levers may compose).
 Radiance totals cross-checked bit-exactly (same multiset per pixel).
 
 RESULTS: appended below after each run (the probe discipline).
+
+END-TO-END (2026-08-19, quick_tpu c3-mesh TPURT_SPP=128 contract
+workload, one process per flag setting, 2 reps each):
+
+  SPMAJOR=0        : 8.092 / 8.092 Mrays/s (34.97 s walls)
+  SPMAJOR=1        : 2.500 / 2.336 Mrays/s (113.2 / 121.1 s)
+  SPMAJOR=1 + OCT=1: 2.178 / <rep2 in log> (129.9 s)
+
+REFUTED, −70% end to end — by far the largest loss any regrouping has
+measured. Isolated per-bounce attribution appended below (run after
+the e2e verdict to record the mechanism).
 """
 
 from __future__ import annotations

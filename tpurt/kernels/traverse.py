@@ -136,7 +136,11 @@ SLABK_ENABLE = False
 # WIDE_ENABLE). Round-1's octant layouts lost under the old
 # one-box-per-row per-ray design and were deleted; this re-audition is
 # under CIP + per-round drains (benchmarks/probe_octant.py decides).
-OCT_ENABLE = False
+# ADOPTED round 4: isolated -24%/-5.4%/-6.4% (primary/b1/b2, fewer
+# rounds AND fewer node visits at unchanged widths) and end-to-end c3
+# contract 8.09 -> 8.28 Mrays/s (2 runs each, quick_tpu protocol) —
+# the first adopted attack on the footprint-union volume itself.
+OCT_ENABLE = True
 MC_K = 8        # subtree cursors per packet (multi-cursor traversal)
 # Multi-cursor only pays for traversals that START narrow (deep-bounce
 # tail batches): at full width it was re-measured a LOSS in round 2
