@@ -61,6 +61,14 @@ exact f32 t-tie winner flipped one path's RR stream — the documented
 exactness boundary; films stay bit-identical on every pinned test).
 Composition with SPMAJOR measured in probe_spmajor.py (both lose —
 the loss is SPMAJOR's own).
+
+Build-cost delta (round-4 ADVICE item 2, measured 2026-08-19 on this
+host): the 7 extra Python _emit_table re-flattens cost +0.10 s at the
+c3 scale (81,920 tris, Mi=3695 inner rows; base build 0.21 s ->
+octants 0.31 s), and the node-table upload is 8x Mi x 64 B = 1.9 MB
+(halved to 0.95 MB by bf16 packing, probe_bf16.py). Both are per-
+scene-build one-offs ~1000x below a single c3 frame's wall; native
+emission is not warranted at this scale.
 """
 
 from __future__ import annotations

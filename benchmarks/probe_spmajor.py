@@ -30,11 +30,20 @@ workload, one process per flag setting, 2 reps each):
 
   SPMAJOR=0        : 8.092 / 8.092 Mrays/s (34.97 s walls)
   SPMAJOR=1        : 2.500 / 2.336 Mrays/s (113.2 / 121.1 s)
-  SPMAJOR=1 + OCT=1: 2.178 / <rep2 in log> (129.9 s)
+  SPMAJOR=1 + OCT=1: 2.178 Mrays/s (129.9 s); rep 2 was NOT run — the
+                     first rep was already 4x off the baseline and the
+                     non-octant pair had two concordant reps, so the
+                     run was cut there (record completed round 5,
+                     ADVICE item 3).
 
 REFUTED, −70% end to end — by far the largest loss any regrouping has
-measured. Isolated per-bounce attribution appended below (run after
-the e2e verdict to record the mechanism).
+measured. The promised isolated per-bounce attribution was NOT run:
+the engine was evicted from the production path in round 5 (round-4
+VERDICT item 7) before the follow-up, and the e2e verdict needed no
+mechanism beyond the round-4 one recorded in BASELINE.md ("tile-order
+spatial coherence, not intra-packet ray similarity, is what the
+footprint union feeds on"). The engine itself lives at round-4 commit
+69c49fb; re-running this probe requires checking that out.
 """
 
 from __future__ import annotations

@@ -9,7 +9,7 @@ iteration between perf commits. Usage:
 Env toggles for adoption measurements (each process times one setting,
 so jit caches can never go stale across a flag flip):
     TPURT_OCT=1       set kernels.traverse.OCT_ENABLE before scene build
-    TPURT_SPMAJOR=1   set render.SPMAJOR (sample-major packets)
+    TPURT_BF16PACK=0/1  set bvh.PK_BF16_PACK before scene build
     TPURT_SPP=N       override the timed sample budget (e.g. contract 128)
 """
 
@@ -36,8 +36,9 @@ def main() -> None:
 
     if os.environ.get("TPURT_OCT") == "1":
         traverse.OCT_ENABLE = True
-    if os.environ.get("TPURT_SPMAJOR") == "1":
-        render.SPMAJOR = True
+    if os.environ.get("TPURT_BF16PACK") in ("0", "1"):
+        from tpurt import bvh
+        bvh.PK_BF16_PACK = os.environ["TPURT_BF16PACK"] == "1"
     spp_over = int(os.environ.get("TPURT_SPP", "0"))
 
     names = sys.argv[1:] or ["c3-mesh"]

@@ -117,75 +117,20 @@ def test_sub_block_loop_matches_single(sp, single, monkeypatch):
     assert film_mod.rmse(f1, fm) < 1e-6
 
 
-def test_sub_block_tail_coalesce_matches_single(monkeypatch):
-    """The c5 path: tail coalescing over the per-chip SUB_BLOCK loop
-    (mesh._device_trace) needs a BVH scene — per-ray radiance and ray
-    counts must be invariant, including partial final groups (6
-    sub-blocks at TAIL_GROUP=4 -> one full + one 2-slot flush)."""
+def test_sub_block_loop_bvh_matches_single(monkeypatch):
+    """The c5 path shape: the per-chip SUB_BLOCK loop over a BVH scene
+    (mesh._device_trace) — per-ray radiance and ray counts must match
+    the unsharded render, including a pixel count that is not a
+    sub-block multiple per chip."""
     cfg = CFG.replace(scene="blob", mesh_subdiv=2, spp=4)
     scene, cam = config.build_scene(cfg)
     f1, s1 = render.render(cfg, scene, cam)
     monkeypatch.setattr(mesh_mod, "SUB_BLOCK", 128)
-    monkeypatch.setattr(render, "TAIL_GROUP", 4)
     mesh = mesh_mod.make_mesh(2)  # 768 px/chip -> 6 sub-blocks
     fm, sm = mesh_mod.render_sharded(cfg.replace(shard="tiles"), scene,
                                      cam, mesh)
     assert sm["rays"] == s1["rays"]
     assert film_mod.rmse(f1, fm) < 1e-6
-
-
-def test_tiles_sharded_spmajor_bit_identical(sp):
-    """render.SPMAJOR through the sharded tiles path (_device_trace's
-    pixel-major sub-blocks): same sharded film, bit-exactly — the
-    regrouping permutes rows within a chunk and sums each pixel's
-    samples in ascending order either way."""
-    scene, cam = sp
-    mesh = mesh_mod.make_mesh(8)
-    cfg = CFG.replace(shard="tiles")
-    old, orig = render.SPMAJOR, mesh_mod._tiles_chunk
-    engaged = []
-    mesh_mod._tiles_chunk = lambda *a, **k: (
-        engaged.append(k.get("spmajor", False)), orig(*a, **k))[1]
-    render.SPMAJOR = False
-    try:
-        f0, s0 = mesh_mod.render_sharded(cfg, scene, cam, mesh)
-        assert engaged and not any(engaged)
-        engaged.clear()
-        render.SPMAJOR = True
-        f1, s1 = mesh_mod.render_sharded(cfg, scene, cam, mesh)
-    finally:
-        render.SPMAJOR, mesh_mod._tiles_chunk = old, orig
-    assert engaged and all(engaged)   # the flag actually took the path
-    assert s1["rays"] == s0["rays"]
-    assert np.array_equal(f1, f0)
-
-
-def test_tiles_sharded_spmajor_subblock_loop(sp):
-    """Cover _device_trace's SCALED sub-block loop under SPMAJOR
-    (sb = SUB_BLOCK // c): shrink SUB_BLOCK so the per-chip block loops
-    on-device, and check bit-identity against the default layout. Uses
-    a distinct frame size so the jit cache cannot serve entries traced
-    with the production SUB_BLOCK."""
-    scene, cam = sp
-    mesh = mesh_mod.make_mesh(8)
-    cfg = CFG.replace(shard="tiles", width=64, height=64, spp=4)
-    old_sb, old_sm = mesh_mod.SUB_BLOCK, render.SPMAJOR
-    orig = mesh_mod._tiles_chunk
-    engaged = []
-    mesh_mod._tiles_chunk = lambda *a, **k: (
-        engaged.append(k.get("spmajor", False)), orig(*a, **k))[1]
-    mesh_mod.SUB_BLOCK = 256     # per-chip b=512 -> loops: off sb=256,
-    try:                         # on  c=4 -> sb=max(128, 64)=128
-        render.SPMAJOR = False
-        f0, s0 = mesh_mod.render_sharded(cfg, scene, cam, mesh)
-        render.SPMAJOR = True
-        f1, s1 = mesh_mod.render_sharded(cfg, scene, cam, mesh)
-    finally:
-        mesh_mod.SUB_BLOCK, render.SPMAJOR = old_sb, old_sm
-        mesh_mod._tiles_chunk = orig
-    assert any(engaged)           # the flag actually took the path
-    assert s1["rays"] == s0["rays"]
-    assert np.array_equal(f1, f0)
 
 
 def test_tiles_sharded_octant_bit_identical():

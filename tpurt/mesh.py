@@ -50,17 +50,6 @@ from .scene import Scene
 AXIS = "chips"
 
 
-def _tail_params():
-    """Snapshot render.py's tail-coalescing knobs as a hashable static
-    (passing the module globals through the jit boundary explicitly —
-    a closure over them would go stale in the jit cache when probes or
-    tests flip the flags)."""
-    from . import render as render_mod
-
-    return (render_mod.TAIL_COALESCE, render_mod.TAIL_CUT,
-            render_mod.TAIL_GROUP, render_mod.TAIL_STAGE_MAX)
-
-
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
@@ -77,8 +66,7 @@ SUB_BLOCK = 1 << 17
 
 
 def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
-                  width, height, mode: str, max_depth: int, rr_start,
-                  tail=None, spmajor: bool = False):
+                  width, height, mode: str, max_depth: int, rr_start):
     """Trace one device's (pixel-block × sample-slice); returns the
     per-pixel radiance sum (B,3) and rays-cast scalar. Pure SPMD body.
 
@@ -96,23 +84,14 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
     c = sample_ids.shape[0]
 
     def fold(rad, bb):
-        # per-pixel sample sum; both layouts sum ascending sample order
-        if spmajor:
-            return rad.reshape(bb, c, 3).sum(axis=1)
+        # per-pixel sample sum (ascending sample order)
         return rad.reshape(c, bb, 3).sum(axis=0)
 
     def trace_block(pix_blk, valid_blk):
         bb = pix_blk.shape[0]
-        if spmajor:
-            # pixel-major rows: packet = one pixel's c samples
-            # (render.SPMAJOR; decided by benchmarks/probe_spmajor.py)
-            pix = jnp.repeat(pix_blk, c)
-            valid = jnp.repeat(valid_blk, c)
-            smp = jnp.tile(sample_ids, bb)
-        else:
-            pix = jnp.tile(pix_blk, c)
-            valid = jnp.tile(valid_blk, c)
-            smp = jnp.repeat(sample_ids, bb)
+        pix = jnp.tile(pix_blk, c)
+        valid = jnp.tile(valid_blk, c)
+        smp = jnp.repeat(sample_ids, bb)
         keys = rng.make_streams(seed, pix, smp)
         jit2 = rng.camera_draws(keys)
         o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
@@ -122,7 +101,7 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
             nrays = jnp.sum(valid, dtype=jnp.int32)
         elif mode == "wavefront":
             ar = jnp.arange(bb, dtype=jnp.int32)
-            lpix = jnp.repeat(ar, c) if spmajor else jnp.tile(ar, c)
+            lpix = jnp.tile(ar, c)
             queue = wavefront.make_queue(o, d, lpix, keys, alive=valid)
             rad, nrays = wavefront.trace_static(scene, queue,
                                                 max_depth, rr_start)
@@ -134,58 +113,9 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
                                      rr_start, valid=valid)
         return fold(rad, bb), nrays
 
-    # sub-block size: keep rows-per-dispatch-body ~constant when the
-    # sample axis widens (spmajor chunks carry c>1 samples per pixel)
-    sb = max(trace.PACKET_R, SUB_BLOCK // c) if spmajor else SUB_BLOCK
+    sb = SUB_BLOCK
     if b <= sb or b % sb != 0:
         return trace_block(gpix, gvalid)
-
-    from . import render as render_mod
-
-    if tail is None:
-        tail = (render_mod.TAIL_COALESCE, render_mod.TAIL_CUT,
-                render_mod.TAIL_GROUP, render_mod.TAIL_STAGE_MAX)
-    t_on, t_cut, t_group, t_sm = tail
-    if (t_on and mode == "mega" and not spmajor
-            and scene.pk_nodes is not None
-            and max_depth > t_cut + 1):
-        # Cross-batch tail coalescing over the sub-block axis (see the
-        # module comment in render.py): each sub-block traces bounces
-        # [0, TAIL_CUT) and banks its survivors; every TAIL_GROUP
-        # sub-blocks complete as ONE merged span, so the round-floor-
-        # bound deep tail — which DOMINATES at config 5's contract depth
-        # (probe_batchscale SCOPE note: width only compresses fresh
-        # bounces) — is paid once per group instead of once per
-        # sub-block. Film rows are disjoint per sub-block, so the fold
-        # is a plain slice-add and byte-identity is structural.
-        def gen(it):
-            p0 = it * SUB_BLOCK
-            pix_blk = jax.lax.dynamic_slice(gpix, (p0,), (SUB_BLOCK,))
-            valid_blk = jax.lax.dynamic_slice(gvalid, (p0,), (SUB_BLOCK,))
-            pix = jnp.tile(pix_blk, c)
-            valid = jnp.tile(valid_blk, c)
-            smp = jnp.repeat(sample_ids, SUB_BLOCK)
-            keys = rng.make_streams(seed, pix, smp)
-            jit2 = rng.camera_draws(keys)
-            o, d = camera_mod.generate_rays(cam, width, height, pix, jit2)
-            return o, d, keys, valid, p0
-
-        def commit(rad_acc, radg, metas):
-            radg = radg.reshape(t_group, c, SUB_BLOCK, 3).sum(axis=1)
-
-            def fold(gg, rad_acc):
-                q0 = metas[gg]
-                old = jax.lax.dynamic_slice(rad_acc, (q0, 0),
-                                            (SUB_BLOCK, 3))
-                return jax.lax.dynamic_update_slice(
-                    rad_acc, old + radg[gg], (q0, 0))
-
-            return jax.lax.fori_loop(0, t_group, fold, rad_acc)
-
-        return render_mod.coalesced_loop(
-            scene, b // SUB_BLOCK, t_group, SUB_BLOCK * c, t_cut,
-            max_depth, rr_start, t_sm, gen, commit,
-            jnp.zeros((b, 3), jnp.float32))
 
     def body(bi, carry):
         rad_acc, nrays_acc = carry
@@ -205,17 +135,16 @@ def _device_trace(scene: Scene, cam, gpix, gvalid, sample_ids, seed,
 
 @partial(jax.jit,
          static_argnames=("mesh", "mode", "max_depth", "rr_start",
-                          "width", "height", "tail", "spmajor"))
+                          "width", "height"))
 def _tiles_chunk(scene: Scene, cam, gpix_pad, gvalid_pad, sample_ids, seed,
                  mesh: Mesh, mode: str, max_depth: int, rr_start,
-                 width: int, height: int, tail=None, spmajor: bool = False):
+                 width: int, height: int):
     """One sample-chunk over the pixel-sharded frame."""
 
     def body(scene, cam, gpix_block, gvalid_block, sample_ids, seed):
         rad, nrays = _device_trace(scene, cam, gpix_block, gvalid_block,
                                    sample_ids, seed,
-                                   width, height, mode, max_depth, rr_start,
-                                   tail=tail, spmajor=spmajor)
+                                   width, height, mode, max_depth, rr_start)
         return rad, jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(
@@ -229,18 +158,17 @@ def _tiles_chunk(scene: Scene, cam, gpix_pad, gvalid_pad, sample_ids, seed,
 
 @partial(jax.jit,
          static_argnames=("mesh", "mode", "max_depth", "rr_start",
-                          "width", "height", "tail"))
+                          "width", "height"))
 def _spp_chunk(scene: Scene, cam, pixel_ids, sample_ids_pad, seed,
                mesh: Mesh, mode: str, max_depth: int, rr_start,
-               width: int, height: int, tail=None):
+               width: int, height: int):
     """One pixel-block over the sample-sharded axis; film psum over ICI."""
 
     def body(scene, cam, pixel_ids, sample_block, seed):
         valid = jnp.ones(pixel_ids.shape, bool)
         rad, nrays = _device_trace(scene, cam, pixel_ids, valid,
                                    sample_block, seed,
-                                   width, height, mode, max_depth, rr_start,
-                                   tail=tail)
+                                   width, height, mode, max_depth, rr_start)
         return jax.lax.psum(rad, AXIS), jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(
@@ -312,7 +240,7 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
                 rad, nrays = _spp_chunk(
                     scene, cam, pixel_ids, sample_ids, seed, mesh,
                     cfg.mode, cfg.max_depth, cfg.rr_start,
-                    cfg.width, cfg.height, tail=_tail_params(),
+                    cfg.width, cfg.height,
                 )
                 film_acc = film_acc.at[p0:p1].add(rad)
                 total_rays += int(nrays)
@@ -335,29 +263,18 @@ def render_samples_sharded(cfg: RenderConfig, scene: Scene, cam,
         gpix = jax.device_put(gpix, sharded)
         gvalid = jax.device_put(gvalid, sharded)
         spp_chunk = max(1, cfg.ray_batch // max(1, block))
-        spmajor = (render_mod.SPMAJOR
-                   and cfg.mode in ("primary", "mega", "wavefront")
-                   and not cfg.spp_chunk
-                   and sample_stop - sample_start >= 2)
         film_pad = jax.device_put(np.zeros((npix_pad, 3), np.float32),
                                   sharded)
         s0 = sample_start
         while s0 < sample_stop:
-            if spmajor:
-                # pixel-major chunks: power-of-two sample widths so the
-                # per-chip sub-block (SUB_BLOCK // c) tiles the block
-                cs = min(render_mod.SPMAJOR_C, sample_stop - s0)
-                cs = 1 << (cs.bit_length() - 1)
-            else:
-                cs = min(spp_chunk, sample_stop - s0)
+            cs = min(spp_chunk, sample_stop - s0)
             s1 = s0 + cs
             sample_ids = jax.device_put(np.arange(s0, s1, dtype=np.int32),
                                         repl)
             rad, nrays = _tiles_chunk(
                 scene, cam, gpix, gvalid, sample_ids, seed, mesh,
                 cfg.mode, cfg.max_depth, cfg.rr_start,
-                cfg.width, cfg.height, tail=_tail_params(),
-                spmajor=spmajor,
+                cfg.width, cfg.height,
             )
             film_pad = film_pad + rad
             total_rays += int(nrays)

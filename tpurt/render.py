@@ -106,13 +106,12 @@ def _order_pad_cached(width: int, height: int, block: int):
 
 @partial(jax.jit,
          static_argnames=("width", "height", "mode", "max_depth",
-                          "rr_start", "block", "c", "n_blocks", "spmajor"),
+                          "rr_start", "block", "c", "n_blocks"),
          donate_argnames=("film_flat", "nrays_acc"))
 def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
                  film_flat, nrays_acc, s0, n_chunks, seed,
                  width: int, height: int, mode: str, max_depth: int,
-                 rr_start, block: int, c: int, n_blocks: int,
-                 spmajor: bool = False):
+                 rr_start, block: int, c: int, n_blocks: int):
     """Trace n_chunks sample-chunks x n_blocks pixel-blocks and fold them
     into the film — the ENTIRE frame pass as ONE device dispatch.
 
@@ -151,15 +150,9 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
             p0 = bi * block
             pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
             valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
-            if spmajor:
-                # pixel-major rows: packet = one pixel's c samples
-                pixf = jnp.repeat(pix, c)
-                validf = jnp.repeat(valid, c)
-                smp = jnp.tile(sample_ids, block)
-            else:
-                pixf = jnp.tile(pix, c)               # (B*C,) sample-major
-                validf = jnp.tile(valid, c)
-                smp = jnp.repeat(sample_ids, block)
+            pixf = jnp.tile(pix, c)                   # (B*C,) sample-major
+            validf = jnp.tile(valid, c)
+            smp = jnp.repeat(sample_ids, block)
             keys = rng.make_streams(seed, pixf, smp)
             jit2 = rng.camera_draws(keys)
             o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
@@ -171,10 +164,7 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
             else:
                 rad, nrays = trace.trace(scene, o, d, keys, max_depth,
                                          rr_start, valid=validf)
-            if spmajor:
-                rad = rad.reshape(block, c, 3).sum(axis=1)
-            else:
-                rad = rad.reshape(c, block, 3).sum(axis=0)
+            rad = rad.reshape(c, block, 3).sum(axis=0)
             old = jax.lax.dynamic_slice(film_tiled, (p0, 0), (block, 3))
             film_tiled = jax.lax.dynamic_update_slice(
                 film_tiled, old + rad, (p0, 0))
@@ -191,188 +181,20 @@ def _accum_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
     return film_flat, nrays_acc
 
 
-# --- cross-batch tail coalescing (round 4) --------------------------------
-# The deep-bounce tail is round-floor-bound and batch-width-insensitive
-# (probe_breakdown: bounce-4 costs ~3.6 ms whether 5.3k or 6.1k rays are
-# live; BASELINE.md "Why the full path gains less"), yet the frame loop
-# paid it once PER 512k BATCH — on c3 that is ~43% of the frame (bounces
-# 3+) multiplied by ~8 batches. Coalescing traces each batch only to
-# TAIL_CUT, stashes the survivor state, and completes every TAIL_GROUP
-# batches' survivors as ONE merged span (trace.trace bounce0=TAIL_CUT),
-# so the tail's round floor is paid once per group. Byte-identity is
-# preserved by construction: per-ray RNG/accumulation chains are
-# untouched (the bounce counter is absolute and dead lanes only add
-# exact 0.0), each iteration's full-path radiance is folded into the
-# film at flush time in the ORIGINAL iteration order, and packets never
-# mix rays (traversal results are packet-local, so array composition is
-# irrelevant). Pinned by tests/test_render.py::test_tail_coalesce_*.
-# MEASURED OFF (probe_tailcoalesce.py, 2026-08-18): every (cut, group)
-# point lost 11-20% on the c3 bench config, the loss scaling with the
-# merged width. The width-insensitive-tail premise breaks on packet
-# granularity: a 128-ray packet stays live while ANY ray lives, so at
-# the cut bounces 2-5 the merged span still walks ~100% of its packets
-# per bounce while its stage ladders bottom out 8-16x wider than the
-# per-batch floors. The engine stays (bit-exactness pinned by
-# tests/test_render.py) for future regrouping designs.
-TAIL_COALESCE = False
-TAIL_CUT = 3          # batches hand survivors over at this bounce
-TAIL_GROUP = 8        # batches whose tails merge into one span
-TAIL_STAGE_MAX = 8    # merged span enters much wider than its live set:
-#                       deeper compaction ladder than BOUNCE_STAGE_MAX
-
-# --- sample-major packets (round 4) ----------------------------------------
-# At contract sample counts (spp >= SPMAJOR_C) a 512k batch can be laid
-# out pixel-major: chunk = (block pixels x c samples) with rows grouped
-# by PIXEL, so a 128-row packet holds one pixel's samples instead of 128
-# tile-adjacent pixels of one sample. Primaries collapse to a sub-pixel
-# beam; bounce-1 rays leave from essentially one surface point. This is
-# the one ray regrouping that trades no spatial coherence away
-# (probe_resort refuted direction sorts for exactly that trade), and it
-# removes the order_pad tail entirely when block divides npix (c3: the
-# 512k block pads 921600 pixels to 1048576 — 12% born-dead rows; at
-# block 4096 x c 128 the frame divides exactly). Image-exact by the
-# counter-derived RNG contract: radiance depends only on
-# (seed, pixel, sample) and per pixel the chunk's samples are summed in
-# ascending order either way. Decided by benchmarks/probe_spmajor.py.
-SPMAJOR = False
-SPMAJOR_C = 128       # samples per pixel per chunk when engaged
-
-
-def coalesced_loop(scene: Scene, total, group: int, B: int, cut: int,
-                   max_depth: int, rr_start, tail_stage_max: int,
-                   gen, commit, acc0):
-    """The coalescing engine, shared by the 1-chip frame loop below and
-    the per-chip sub-block loop in mesh._device_trace.
-
-    Iterates ``it in [0, total)`` (total may be traced): per iteration,
-    ``gen(it) -> (o, d, keys, valid, meta)`` makes B rays (meta: an
-    int32 scalar the caller's fold needs, e.g. the film row offset);
-    bounces [0, cut) trace immediately and the survivor state banks into
-    slot ``it % group``. Every `group` iterations — or at the end — the
-    banked survivors complete as ONE merged trace span (the flush), and
-    ``commit(acc, rad (group, B, 3), metas (group,)) -> acc`` folds the
-    group's COMPLETE per-ray radiance in slot order. Unfilled slots are
-    born dead with zero radiance and meta 0, so commit's adds are exact
-    no-ops for them. Returns (acc, rays_cast).
-    """
-    total = jnp.asarray(total, jnp.int32)
-    n_groups = (total + group - 1) // group
-
-    def group_body(gi, carry):
-        acc, nrays_acc = carry
-        bufs0 = (
-            jnp.zeros((group, B, 3), jnp.float32),   # o
-            jnp.zeros((group, B, 3), jnp.float32),   # d
-            jnp.zeros((group, B, 3), jnp.float32),   # atten
-            jnp.zeros((group, B, 3), jnp.float32),   # rad (phase-1)
-            jnp.zeros((3, group, B), jnp.uint32),    # keys
-            jnp.zeros((group, B), bool),             # alive
-            jnp.zeros((group,), jnp.int32),          # meta per slot
-        )
-
-        def slot_body(g, c2):
-            nrays_acc, bufs = c2
-            bo, bd, batten, brad, bkeys, balive, bmeta = bufs
-            it = gi * group + g
-            # the final group may be partial: masked slots trace rays
-            # born dead (zero radiance, zero count, meta 0 — commit's
-            # fold adds exact zeros at offset 0)
-            ok = it < total
-            o, d, keys, valid, meta = gen(jnp.minimum(it, total - 1))
-            valid = valid & ok
-            meta = jnp.where(ok, meta, 0)
-
-            rad1, nr1, (so, sd, satten, salive, sks) = trace.trace(
-                scene, o, d, keys, cut, rr_start, valid=valid,
-                want_state=True)
-
-            def put(buf, val):
-                return jax.lax.dynamic_update_slice(
-                    buf, val[None], (g,) + (0,) * val.ndim)
-
-            bufs = (put(bo, so), put(bd, sd), put(batten, satten),
-                    put(brad, rad1),
-                    jax.lax.dynamic_update_slice(bkeys, sks[:, None],
-                                                 (0, g, 0)),
-                    put(balive, salive), bmeta.at[g].set(meta))
-            return nrays_acc + nr1, bufs
-
-        nrays_acc, bufs = jax.lax.fori_loop(0, group, slot_body,
-                                            (nrays_acc, bufs0))
-        bo, bd, batten, brad, bkeys, balive, bmeta = bufs
-        # flush: the banked survivors of the whole group complete as ONE
-        # merged span (straight-line — an earlier lax.cond flush copied
-        # the full buffer set through the conditional every iteration,
-        # ~60 ms/frame of boundary copies in the device profile)
-        rad2, nr2 = trace.trace(
-            scene, bo.reshape(group * B, 3), bd.reshape(group * B, 3),
-            bkeys.reshape(3, group * B), max_depth, rr_start,
-            valid=balive.reshape(-1), bounce0=cut,
-            atten0=batten.reshape(group * B, 3),
-            rad0=brad.reshape(group * B, 3),
-            stage_max=tail_stage_max)
-        acc = commit(acc, rad2.reshape(group, B, 3), bmeta)
-        return acc, nrays_acc + nr2
-
-    acc, nrays_acc = jax.lax.fori_loop(
-        0, n_groups, group_body, (acc0, jnp.int32(0)))
-    return acc, nrays_acc
-
-
-@partial(jax.jit,
-         static_argnames=("width", "height", "max_depth", "rr_start",
-                          "block", "c", "n_blocks", "cut", "group",
-                          "tail_stage_max"),
-         donate_argnames=("film_flat", "nrays_acc"))
-def _accum_frame_coalesced(scene: Scene, cam, order_pad, valid_pad,
-                           inv_order, film_flat, nrays_acc, s0, n_chunks,
-                           seed, width: int, height: int, max_depth: int,
-                           rr_start, block: int, c: int, n_blocks: int,
-                           cut: int, group: int, tail_stage_max: int):
-    """_accum_frame with cross-batch tail coalescing (see the module
-    comment above): same (sample-chunk x pixel-block) iteration space,
-    one device dispatch, but each iteration traces only bounces
-    [0, cut) and banks its survivor state; every `group` iterations (or
-    at the end) the banked survivors complete as ONE merged trace span
-    and the group's radiance folds into the film in iteration order.
-
-    n_chunks stays TRACED (the loop bound is dynamic) so a 1-sample
-    warmup shares this program with the full run, exactly like
-    _accum_frame; the flush fires on ``slot == group-1 or last
-    iteration`` via lax.cond.
-    """
-    film_tiled = jnp.where(valid_pad[:, None], film_flat[order_pad], 0.0)
-
-    def gen(it):
-        ci = it // n_blocks
-        bi = it % n_blocks
-        p0 = bi * block
-        sample_ids = s0 + ci * c + jnp.arange(c, dtype=jnp.int32)
-        pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
-        valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
-        pixf = jnp.tile(pix, c)
-        validf = jnp.tile(valid, c)
-        smp = jnp.repeat(sample_ids, block)
-        keys = rng.make_streams(seed, pixf, smp)
-        jit2 = rng.camera_draws(keys)
-        o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
-        return o, d, keys, validf, p0
-
-    def commit(film_tiled, radg, metas):
-        radg = radg.reshape(group, c, block, 3).sum(axis=1)
-
-        def fold(gg, film_tiled):
-            q0 = metas[gg]
-            old = jax.lax.dynamic_slice(film_tiled, (q0, 0), (block, 3))
-            return jax.lax.dynamic_update_slice(
-                film_tiled, old + radg[gg], (q0, 0))
-
-        return jax.lax.fori_loop(0, group, fold, film_tiled)
-
-    film_tiled, nrays = coalesced_loop(
-        scene, n_chunks * n_blocks, group, block * c, cut, max_depth,
-        rr_start, tail_stage_max, gen, commit, film_tiled)
-    return film_tiled[inv_order], nrays_acc + nrays
+# --- evicted engines (round 5) ---------------------------------------------
+# Two refuted regrouping engines were DELETED from this module (round-4
+# VERDICT weak #3 / item 7; the pk8/octant-v1 precedent is deletion):
+#   * cross-batch tail coalescing (TAIL_COALESCE, coalesced_loop,
+#     _accum_frame_coalesced) — bit-exact, lost 11-20% on c3 at every
+#     (cut, group) point: fewer-but-wider rounds conserve wall
+#     (probe_tailcoalesce.py + profile_coalesce.py keep the full record).
+#   * sample-major packets (SPMAJOR: packet = one pixel's 128 samples)
+#     — lost 70% end-to-end; tile-order spatial coherence, not
+#     intra-packet ray similarity, is what the footprint union feeds on
+#     (probe_spmajor.py keeps the record).
+# To re-run either probe, check out the last round-4 commit (69c49fb).
+# trace.trace's span-resume API (bounce0/atten0/rad0/want_state) is kept:
+# it is the general bounce-span handoff contract, independently tested.
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -409,15 +231,6 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
     pixel_block += (-pixel_block) % trace.PACKET_R
     spp_chunk = cfg.spp_chunk or max(1, ray_batch // pixel_block)
     spp_chunk = min(spp_chunk, max(1, sample_stop - sample_start))
-    spmajor = (SPMAJOR and cfg.mode in ("primary", "mega", "wavefront")
-               and not cfg.spp_chunk
-               and sample_stop - sample_start >= 2)
-    if spmajor:
-        # pixel-major chunks: same ~ray_batch rows per dispatch body,
-        # shaped (block pixels x c samples) instead of (block x 1)
-        spp_chunk = min(SPMAJOR_C, sample_stop - sample_start)
-        pixel_block = max(trace.PACKET_R, ray_batch // spp_chunk)
-        pixel_block += (-pixel_block) % trace.PACKET_R
     order = _tile_order_cached(cfg.width, cfg.height)
 
     if cfg.mode in ("primary", "mega"):
@@ -440,37 +253,19 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
         ):
             if n_chunks == 0 or c == 0:
                 continue
-            coalesce = (
-                TAIL_COALESCE and cfg.mode == "mega" and not spmajor
-                and scene.pk_nodes is not None
-                and cfg.max_depth > TAIL_CUT + 1
-                and n_chunks * n_blocks > 1
+            film_flat, nrays_acc = _accum_frame(
+                scene, cam, order_pad, valid_pad, inv_order,
+                film_flat, nrays_acc,
+                jnp.int32(s0), jnp.int32(n_chunks), seed,
+                cfg.width, cfg.height, cfg.mode, cfg.max_depth,
+                cfg.rr_start, pixel_block, c, n_blocks,
             )
-            if coalesce:
-                film_flat, nrays_acc = _accum_frame_coalesced(
-                    scene, cam, order_pad, valid_pad, inv_order,
-                    film_flat, nrays_acc,
-                    jnp.int32(s0), jnp.int32(n_chunks), seed,
-                    cfg.width, cfg.height, cfg.max_depth,
-                    cfg.rr_start, pixel_block, c, n_blocks,
-                    TAIL_CUT, TAIL_GROUP, TAIL_STAGE_MAX,
-                )
-            else:
-                film_flat, nrays_acc = _accum_frame(
-                    scene, cam, order_pad, valid_pad, inv_order,
-                    film_flat, nrays_acc,
-                    jnp.int32(s0), jnp.int32(n_chunks), seed,
-                    cfg.width, cfg.height, cfg.mode, cfg.max_depth,
-                    cfg.rr_start, pixel_block, c, n_blocks,
-                    spmajor=spmajor,
-                )
         return film_flat, int(nrays_acc)
 
     if cfg.mode == "wavefront":
         return _render_wavefront(cfg, scene, cam, film_flat, order,
                                  pixel_block, spp_chunk,
-                                 sample_start, sample_stop, seed, stats_sink,
-                                 spmajor=spmajor)
+                                 sample_start, sample_stop, seed, stats_sink)
 
     # cfg.mode == "persist": the persistent wavefront streams each pixel
     # block's whole sample range through one fixed-capacity dispatch
@@ -499,13 +294,12 @@ def render_samples(cfg: RenderConfig, scene: Scene, cam,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "max_depth", "rr_start",
-                          "block", "c", "n_blocks", "spmajor"),
+                          "block", "c", "n_blocks"),
          donate_argnames=("film_flat",))
 def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
                      film_flat, s0, n_chunks, seed,
                      width: int, height: int, max_depth: int, rr_start,
-                     block: int, c: int, n_blocks: int,
-                     spmajor: bool = False):
+                     block: int, c: int, n_blocks: int):
     """All wavefront chunks of a sample range as ONE device dispatch.
 
     The (pixel-block x sample-chunk) loop runs on-device as a fori_loop
@@ -526,25 +320,16 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
                                                            dtype=jnp.int32)
         pix = jax.lax.dynamic_slice(order_pad, (p0,), (block,))
         valid = jax.lax.dynamic_slice(valid_pad, (p0,), (block,))
-        if spmajor:
-            # pixel-major rows: packet = one pixel's c samples
-            pixf = jnp.repeat(pix, c)
-            validf = jnp.repeat(valid, c)
-            smp = jnp.tile(sample_ids, block)
-        else:
-            pixf = jnp.tile(pix, c)
-            validf = jnp.tile(valid, c)
-            smp = jnp.repeat(sample_ids, block)
+        pixf = jnp.tile(pix, c)
+        validf = jnp.tile(valid, c)
+        smp = jnp.repeat(sample_ids, block)
         keys = rng.make_streams(seed, pixf, smp)
         jit2 = rng.camera_draws(keys)
         o, d = camera_mod.generate_rays(cam, width, height, pixf, jit2)
         q = wavefront.make_queue(o, d, pixf, keys, alive=validf)
         rad, cast, h = wavefront.trace_chunk_staged(
             scene, q, max_depth, rr_start)
-        if spmajor:
-            rad = rad.reshape(block, c, 3).sum(axis=1)
-        else:
-            rad = rad.reshape(c, block, 3).sum(axis=0)
+        rad = rad.reshape(c, block, 3).sum(axis=0)
         old = jax.lax.dynamic_slice(film_tiled, (p0, 0), (block, 3))
         film_tiled = jax.lax.dynamic_update_slice(
             film_tiled, old + rad, (p0, 0))
@@ -558,7 +343,7 @@ def _wavefront_frame(scene: Scene, cam, order_pad, valid_pad, inv_order,
 
 def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
                       spp_chunk, sample_start, sample_stop, seed,
-                      stats_sink, spmajor: bool = False):
+                      stats_sink):
     """Wavefront render loop: the whole sample range in one dispatch.
 
     Per-bounce queue passes, packet-granular liveness compaction and
@@ -590,7 +375,7 @@ def _render_wavefront(cfg, scene, cam, film_flat, order, pixel_block,
             scene, cam, order_pad, valid_pad, inv_order, film_flat,
             jnp.int32(s0), jnp.int32(n_chunks), seed,
             cfg.width, cfg.height, cfg.max_depth, cfg.rr_start,
-            block, c, n_blocks, spmajor=spmajor,
+            block, c, n_blocks,
         )
         total_rays = total_rays + nrays
         hist = hist + h
