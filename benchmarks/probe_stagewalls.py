@@ -1,0 +1,120 @@
+"""Per-(bounce, stage) volume attribution of c3 traversals (round-5
+VERDICT item 3, stage half; the bounce half at contract scale is
+probe_bouncewall.py).
+
+packet_nearest_tri(with_counters=True) now returns a STAGE LOG:
+cumulative (rounds, Σpp) snapshots at every stage boundary of the
+compaction ladder (tpurt/kernels/traverse.py run_stages). Diffing
+consecutive entries attributes the traversal volume integral — the
+quantity the round-3/4 conservation law says wall tracks — to each
+array width, per bounce workload. Combined with the measured per-round
+cost model (wall ≈ rounds x (floor + k x pp); floor and k fit from the
+same data across bounces), this is the (bounce, stage) wall table the
+round-4 verdict asked for, with no trace parsing.
+
+Workloads: isolated bounce-0..4 traversals of a 512k c3 batch (the
+contract frame's batch shape; survivor sets from the real material
+chain, as probe_retune_oct.py).
+
+RESULTS: pending (appended after the TPU run, per the probe
+discipline).
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path[:0] = [str(_Path(__file__).resolve().parent.parent),
+                 str(_Path(__file__).resolve().parent)]
+import json
+
+import jax
+import jax.numpy as jnp
+
+from microbench import device_time_fused
+
+from tpurt import camera as camera_mod
+from tpurt import config, materials, rng, trace
+from tpurt import render
+from tpurt.kernels import traverse
+
+N = 1 << 19   # the contract frame's BVH batch width
+
+
+def main() -> None:
+    cfg = config.RenderConfig(width=1280, height=720, spp=4, scene="blob",
+                              mesh_subdiv=6, mode="mega", max_depth=8)
+    scene, cam = config.build_scene(cfg)
+    scene = scene.device()
+
+    order_full = render.tile_order(cfg.width, cfg.height)
+    npix = order_full.size
+    reps = (N + npix - 1) // npix
+    pix = jnp.asarray(
+        jnp.tile(jnp.asarray(order_full), reps)[:N], jnp.int32)
+    smp = jnp.repeat(jnp.arange(reps, dtype=jnp.int32), npix)[:N]
+    keys = rng.make_streams(jnp.uint32(0), pix, smp)
+    jit2 = rng.camera_draws(keys)
+    o, d = camera_mod.generate_rays(cam, cfg.width, cfg.height, pix, jit2)
+
+    @jax.jit
+    def one_bounce(o, d, keys, bounce):
+        h = trace.intersect(scene, o, d)
+        mp = scene.mat_packed[h.mat]
+        mtype = jax.lax.bitcast_convert_type(mp[:, 0], jnp.int32)
+        draws = rng.bounce_draws(keys, bounce)
+        nd, _, alive = materials.scatter(
+            d, h.n, h.front, mtype, mp[:, 1:4], mp[:, 7], mp[:, 8], draws)
+        p = o + h.t[:, None] * d
+        return jnp.where(h.ok[:, None], p, o), nd, h.ok & alive
+
+    workloads = {"bounce0": (o, d, jnp.full(N, jnp.inf))}
+    oc, dc, alive = o, d, jnp.ones(N, bool)
+    for b in range(4):
+        oc, dc, ali = one_bounce(oc, dc, keys, jnp.int32(b))
+        alive = alive & ali
+        oc = jax.block_until_ready(oc)
+        workloads[f"bounce{b + 1}"] = (oc, dc,
+                                       jnp.where(alive, jnp.inf, 0.0))
+
+    fit = []   # (rounds, sum_pp, wall_ms) per workload for the cost fit
+    for name, rays in workloads.items():
+        trav = jax.jit(lambda o, d, t: traverse.packet_nearest_tri(
+            scene, o, d, t)[0])
+        sec = device_time_fused(trav, *rays, iters=8, reps=3)
+        cntf = jax.jit(
+            lambda o, d, t: traverse.packet_nearest_tri(
+                scene, o, d, t, with_counters=True)[5:])
+        r, a, s_pp, s_pend, log = cntf(*rays)
+        r, s_pp = int(r), int(s_pp)
+        live = int(jnp.sum(rays[2] > 0))
+        stages = []
+        prev_r = prev_pp = 0
+        for width, rc, ppc in log:
+            rc, ppc = int(rc), int(ppc)
+            stages.append({"width": int(width), "rounds": rc - prev_r,
+                           "sum_pp": ppc - prev_pp})
+            prev_r, prev_pp = rc, ppc
+        fit.append((r, s_pp, sec * 1e3))
+        print(json.dumps({"probe": name, "live_rays": live,
+                          "wall_ms": round(sec * 1e3, 3),
+                          "rounds": r, "sum_pp": s_pp,
+                          "stages": stages}), flush=True)
+
+    # per-round cost model wall = rounds*floor + k*sum_pp (least squares
+    # over the measured workloads) -> per-stage wall attribution
+    import numpy as np
+
+    A = np.array([[r, pp] for r, pp, _ in fit], float)
+    y = np.array([w for _, _, w in fit], float)
+    (floor_ms, k_ms), *_ = np.linalg.lstsq(A, y, rcond=None)
+    print(json.dumps({"probe": "cost_fit",
+                      "round_floor_us": round(floor_ms * 1e3, 2),
+                      "per_pp_ns": round(k_ms * 1e6, 2),
+                      "residual_ms": [round(float(p - m), 3) for p, m in
+                                      zip(A @ np.array([floor_ms, k_ms]),
+                                          y)]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -284,3 +284,74 @@ def test_octant_traversal_matches_base(micro_mesh):
             assert np.array_equal(na[fb], nb[fb])
     finally:
         traverse.OCT_ENABLE = old
+
+
+def test_bf16_pack_directed_rounding():
+    """pack_nodes_bf16: every lo rounds toward -inf and every hi toward
+    +inf (boxes only get LOOSER — the conservative-cull contract), the
+    expansion is exact f32, values already bf16-representable are
+    unchanged, and the meta slots carry their bits through untouched."""
+    rng = np.random.default_rng(7)
+    rows = np.zeros((4096, 16), np.float32)
+    vals = np.float32(rng.normal(scale=10.0, size=(4096, 12)))
+    vals[0, :] = 0.0
+    vals[1, :] = -0.0
+    vals[2, :] = 1.5          # bf16-exact
+    vals[3, :] = 2.0**120     # bf16-exact (power of two, huge exponent)
+    rows[:, :12] = vals
+    meta = rng.integers(-(2**31), 2**31, size=(4096, 3), dtype=np.int64)
+    rows[:, 12:15] = meta.astype(np.int32).view(np.float32)
+
+    packed = bvh.pack_nodes_bf16(rows)
+    assert packed.dtype == np.uint32 and packed.shape == rows.shape
+    lo_u = (packed[:, 0:6] << np.uint32(16)).view(np.float32)
+    hi_u = (packed[:, 0:6] & np.uint32(0xFFFF0000)).view(np.float32)
+    lo_f = np.concatenate([rows[:, 0:3], rows[:, 6:9]], axis=1)
+    hi_f = np.concatenate([rows[:, 3:6], rows[:, 9:12]], axis=1)
+    assert np.all(lo_u <= lo_f)
+    assert np.all(hi_u >= hi_f)
+    # one bf16 ulp at most (relative 2^-7 covers the exponent step)
+    assert np.all(lo_f - lo_u <= np.maximum(np.abs(lo_f) * 2.0**-7, 1e-37))
+    assert np.all(hi_u - hi_f <= np.maximum(np.abs(hi_f) * 2.0**-7, 1e-37))
+    # exactly-representable values pass through unchanged
+    for r in (0, 1, 2, 3):
+        assert np.array_equal(lo_u[r], lo_f[r])
+        assert np.array_equal(hi_u[r], hi_f[r])
+    assert np.array_equal(packed[:, 6:9].view(np.int32),
+                          meta.astype(np.int32))
+
+
+def test_bf16_packed_traversal_matches_f32(micro_mesh):
+    """bvh.PK_BF16_PACK traversal returns the exact same winners as the
+    f32 rows: outward-rounded boxes only ADD subtree visits, and every
+    candidate triangle's intersection is computed identically, so the
+    strict-< winner per ray is unchanged. Covers the multi-cursor narrow
+    path, the full-width staged path, and the octant tables."""
+    from tpurt.kernels import traverse
+
+    v, f = micro_mesh
+    old = bvh.PK_BF16_PACK
+    try:
+        bvh.PK_BF16_PACK = False
+        sc_f, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+        sc_f = sc_f.device()
+        bvh.PK_BF16_PACK = True
+        sc_p, _ = scene_mod.mesh_scene(1.0, v, f, use_bvh=True)
+        sc_p = sc_p.device()
+        assert sc_p.pk_nodes.dtype == jnp.uint32
+        if traverse.OCT_ENABLE:
+            assert sc_p.pk_oct_nodes.dtype == jnp.uint32
+        for n in (1024, 16384):
+            o, d = _rand_rays(n)
+            t_max = jnp.full(n, geometry.INF)
+            a = traverse.packet_nearest_tri(sc_p, o, d, t_max)
+            b = traverse.packet_nearest_tri(sc_f, o, d, t_max)
+            ta, na, ma, fa, ga = (np.asarray(x) for x in a)
+            tb, nb, mb, fb, gb = (np.asarray(x) for x in b)
+            assert np.array_equal(fa, fb)
+            assert np.array_equal(ta[fb], tb[fb])
+            assert np.array_equal(ga[fb], gb[fb])
+            assert np.array_equal(ma[fb], mb[fb])
+            assert np.array_equal(na[fb], nb[fb])
+    finally:
+        bvh.PK_BF16_PACK = old

@@ -91,3 +91,31 @@ def test_interpolated_normals_match_sphere_exactly():
     expect = expect / np.linalg.norm(expect)
     got = np.asarray(h.n[0])
     assert np.allclose(got, expect, atol=2e-3), (got, expect)
+
+
+def test_obj_write_roundtrip_exact(tmp_path):
+    """io.obj.write_mesh -> load_mesh is bit-exact for f64 meshes (the
+    %.17g contract) and the scenes built from both mesh copies are
+    byte-identical array for array — the equivalence the c3 bench
+    asserts at contract scale (bench_render.build_scene_obj_checked,
+    round-4 VERDICT item 8)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "benchmarks"))
+    from bench_render import build_scene_obj_checked
+
+    from tpurt import config, meshgen
+    from tpurt.io import obj as obj_io
+
+    v, f = meshgen.blob(subdiv=2)
+    p = tmp_path / "rt.obj"
+    obj_io.write_mesh(str(p), v, f)
+    m = obj_io.load_mesh(str(p))
+    assert np.array_equal(m.verts, np.asarray(v, np.float64))
+    assert np.array_equal(m.faces, np.asarray(f, np.int64))
+    # the checked builder runs its own byte-identity asserts internally
+    cfg = config.PRESETS["c3-mesh"].replace(mesh_subdiv=2)
+    scene, cam = build_scene_obj_checked(cfg)
+    assert scene.pk_nodes is not None

@@ -380,6 +380,52 @@ PACKET_LEAF_N = 32
 # saving. 32 stands end-to-end.
 LEAF_F = 12  # f32 slots per triangle in a packed leaf row
 
+# bf16-packed node rows (round 5, benchmarks/probe_bf16.py): box coords
+# outward-rounded to bf16 and packed two-per-u32 slot, halving the
+# per-adv-step column count (the slice_reduce census term). The slab
+# ARITHMETIC stays f32 — bf16->f32 expansion is exact, and a box only
+# ever gets LOOSER (lo rounds toward -inf, hi toward +inf), so the cull
+# stays conservative and images stay byte-identical (winners can flip
+# only on exact f32 t-ties via drain order, the octant-adoption
+# boundary). Scene build packs the emitted f32 tables when this is set;
+# kernels/traverse.py branches on the array dtype. Default decided by
+# the probe's end-to-end adoption run (see probe_bf16.py RESULTS).
+PK_BF16_PACK = False
+
+
+def _bf16_dir_bits(x: np.ndarray, toward_neg: bool) -> np.ndarray:
+    """f32 -> bf16 bit pattern (in the u32 high half), directed rounding.
+
+    Truncating the low 16 mantissa bits rounds toward ZERO; when bits
+    were lost and the sign points the wrong way, stepping the bf16 ulp
+    (+0x10000 on the magnitude bits — mantissa carry rolls into the
+    exponent naturally) completes round-toward(-inf|+inf)."""
+    b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    t = b & np.uint32(0xFFFF0000)
+    lost = (b & np.uint32(0xFFFF)) != 0
+    neg = (b & np.uint32(0x80000000)) != 0
+    bump = lost & (neg if toward_neg else ~neg)
+    return np.where(bump, t + np.uint32(0x10000), t)
+
+
+def pack_nodes_bf16(nodes: np.ndarray) -> np.ndarray:
+    """(..., Mi, 16) f32 CIP rows -> same-shape u32 packed rows.
+
+    Slots 0-5: (lo | hi<<16) bf16 pairs per (child, axis) — child L
+    axes xyz then child R; lo rounded toward -inf, hi toward +inf.
+    Slots 6-8: metaL/metaR/skip bit-unchanged. Slots 9-15 zero. Row
+    width stays 16 so gathers are shape-identical to the f32 table and
+    only the extracted column count changes (probe_bf16.py C)."""
+    flat = nodes.reshape(-1, nodes.shape[-1])
+    out = np.zeros_like(flat, np.uint32)
+    for child, off in ((0, 0), (1, 6)):
+        for k in range(3):
+            lo = _bf16_dir_bits(flat[:, off + k], toward_neg=True)
+            hi = _bf16_dir_bits(flat[:, off + k + 3], toward_neg=False)
+            out[:, child * 3 + k] = (lo >> np.uint32(16)) | hi
+    out[:, 6:9] = np.ascontiguousarray(flat[:, 12:15]).view(np.uint32)
+    return out.reshape(nodes.shape)
+
 
 class PacketBVH(NamedTuple):
     """Child-in-parent (CIP) gather-minimal layout for packet traversal.

@@ -101,3 +101,24 @@ def load(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Returns (vertices (V,3) f64, faces (F,3) i64, zero-indexed)."""
     m = load_mesh(path)
     return m.verts, m.faces
+
+
+def write_mesh(path: str, verts, faces) -> None:
+    """Write a triangle mesh as v/f records, f64-round-trip exact.
+
+    Vertices print with %.17g — 17 significant digits reproduce any f64
+    exactly through the text parse — so load_mesh(write_mesh(v, f))
+    rebuilds bit-identical coordinates (meshgen emits f64; the scene
+    builder's camera auto-framing reads the f64 values, so anything
+    lossier would move the camera). Pinned by
+    tests/test_fixture_obj.py::test_obj_write_roundtrip_exact and
+    exercised at contract scale by the c3 bench (round-4 VERDICT
+    item 8 / BASELINE config 3's "OBJ" clause)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    with open(path, "w") as fh:
+        fh.write("# tpurt mesh round-trip\n")
+        for x, y, z in verts:
+            fh.write(f"v {x:.17g} {y:.17g} {z:.17g}\n")
+        for a, b, c in faces + 1:       # OBJ is 1-indexed
+            fh.write(f"f {a} {b} {c}\n")

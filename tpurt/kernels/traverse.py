@@ -288,6 +288,13 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     use_mc = cut is not None
     adv_steps = ADV_STEPS if not wide else (
         ADV_STEPS_WIDE if nodes.shape[1] == 64 else ADV_STEPS_WIDE4)
+    # bf16-packed node rows (bvh.PK_BF16_PACK / pack_nodes_bf16): u32
+    # slots 0-5 hold (lo | hi<<16) bf16 pairs, 6-8 the metas. Expansion
+    # back to f32 is EXACT and boxes were rounded outward at build time,
+    # so the slab stays a conservative cull on f32 arithmetic — images
+    # byte-identical, while each adv step extracts 6 box columns
+    # instead of 12 (the slice_reduce census term; probe_bf16.py).
+    packed = (not wide) and nodes.dtype == jnp.uint32
 
     def node_fields(nid):
         # promise_in_bounds: nid is clamped by the caller already; the
@@ -301,7 +308,9 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         rows = nodes.at[nid].get(mode="promise_in_bounds")   # (P, 16)
 
         def icol(c):
-            return jax.lax.bitcast_convert_type(rows[:, c], jnp.int32)
+            # packed rows carry the metas at slots 6-8 instead of 12-14
+            return jax.lax.bitcast_convert_type(
+                rows[:, c - 6 if packed else c], jnp.int32)
 
         return rows, icol
 
@@ -336,8 +345,20 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             tn = jnp.full(t_best.shape, jnp.float32(T_MIN))
             tf = t_best
             for k in range(3):
-                t0 = (rows[:, off + k:off + k + 1] - oxs[k]) * ixs[k]
-                t1 = (rows[:, off + k + 3:off + k + 4] - oxs[k]) * ixs[k]
+                if packed:
+                    # (lo | hi<<16) bf16 pair per u32 slot; shift/mask +
+                    # bitcast expand EXACTLY to f32 and fuse into the
+                    # slab math — 6 column extracts instead of 12
+                    cu = rows[:, off // 2 + k:off // 2 + k + 1]
+                    lo = jax.lax.bitcast_convert_type(
+                        cu << jnp.uint32(16), jnp.float32)
+                    hi = jax.lax.bitcast_convert_type(
+                        cu & jnp.uint32(0xFFFF0000), jnp.float32)
+                    t0 = (lo - oxs[k]) * ixs[k]
+                    t1 = (hi - oxs[k]) * ixs[k]
+                else:
+                    t0 = (rows[:, off + k:off + k + 1] - oxs[k]) * ixs[k]
+                    t1 = (rows[:, off + k + 3:off + k + 4] - oxs[k]) * ixs[k]
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
             c = jnp.where(tn <= tf, jnp.int32(bit), jnp.int32(0))
@@ -403,7 +424,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             def adv_step(nd, banks, qh, qt):
                 cnt = qt - qh
                 act = (nd >= 0) & (cnt < BANK_S)   # >= 1 slot free
-                if SLABK_ENABLE and jax.default_backend() == "tpu":
+                if (SLABK_ENABLE and not packed
+                        and jax.default_backend() == "tpu"):
                     # Mosaic slab step: extract + slab + lane reduce +
                     # meta decode in ONE kernel (see kernels/slab.py;
                     # adoption decided by benchmarks/probe_slabk.py)
@@ -706,6 +728,11 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
     def cond(st):
         return jnp.any((st[0] >= 0) | (st[7] > st[6]))
 
+    stage_log: list = []   # [(array_width, rounds_cum, pp_cum)] — only
+    # appended under with_counters; feeds the per-(bounce, stage)
+    # attribution (benchmarks/probe_stagewalls.py): diffs of consecutive
+    # entries give each stage's round count and Σpp at its array width.
+
     def run_stages(state, caps):
         """Tail compaction: traversal rounds cost O(live packet set), but a
         while_loop's shapes are fixed — so run the loop in STAGES. Each
@@ -715,7 +742,10 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
         on return. The long tail of straggler packets — which otherwise
         gates hundreds of full-size rounds — finishes on 1/8-size arrays."""
         if not caps:
-            return jax.lax.while_loop(cond, outer, state)
+            st = jax.lax.while_loop(cond, outer, state)
+            if with_counters:
+                stage_log.append((st[0].shape[0], st[24], st[26]))
+            return st
         cap = caps[0]
         if state[0].shape[0] <= cap:
             return run_stages(state, caps[1:])
@@ -725,6 +755,8 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
             return jnp.any(act) & (jnp.sum(act) > cap)
 
         state = jax.lax.while_loop(cond2, outer, state)
+        if with_counters:
+            stage_log.append((state[0].shape[0], state[24], state[26]))
         act = (state[0] >= 0) | (state[7] > state[6])
         order = jnp.argsort(
             jnp.where(act, 0, 1).astype(jnp.int32), stable=True
@@ -863,6 +895,7 @@ def packet_nearest_tri(scene: Scene, o, d, t_max, with_counters=False):
            m_best.reshape(-1)[:n], found.reshape(-1)[:n],
            g_best.reshape(-1)[:n])
     if with_counters:
-        # (rounds, adv steps, Σ array-packets over rounds, Σ pending)
-        return out + tuple(final[24:28])
+        # (rounds, adv steps, Σ array-packets over rounds, Σ pending,
+        #  stage log [(width, rounds_cum, pp_cum)])
+        return out + tuple(final[24:28]) + (tuple(stage_log),)
     return out

@@ -238,6 +238,13 @@ class SceneBuilder:
             if pk.oct_nodes is not None:
                 pk_oct_nodes = pk.oct_nodes.reshape(-1, 16)
                 pk_oct_cut = pk.oct_cut
+            if bvh_mod.PK_BF16_PACK:
+                # bf16-packed node rows (bvh.pack_nodes_bf16): traversal
+                # branches on the u32 dtype; boxes only get looser, so
+                # the cull stays conservative and goldens byte-identical
+                pk_nodes = bvh_mod.pack_nodes_bf16(pk_nodes)
+                if pk_oct_nodes is not None:
+                    pk_oct_nodes = bvh_mod.pack_nodes_bf16(pk_oct_nodes)
             # The wide (8-ary) layout is a refuted production path
             # (kernels.traverse.WIDE_ENABLE, benchmarks/probe_fanout.py):
             # building it eagerly was a third full SAH recursion plus an
