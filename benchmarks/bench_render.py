@@ -42,8 +42,14 @@ BENCH_SPP = {
     "c4-wavefront": 2,
     # config 5 at bench scale: full 4K frame, reduced spp, tile-sharded
     # over whatever mesh exists (the 1-chip TPU mesh here; the fake
-    # 8-device CPU mesh in tests)
-    "c5-multichip": 2,
+    # 8-device CPU mesh in tests). 8 spp since round 5 (round-4 VERDICT
+    # weak #4): at 2 spp the statistic was measuring relay dispatch
+    # floors (best-of-7 spread 2.57-3.35 vs the contract row's 9.455 —
+    # a 3x gap) and c5 kept tripping the gate on floor noise; 8 spp
+    # amortizes the floors so the gate measures the device. The first
+    # 8-spp rows are FASTER than the 2-spp history median, so the
+    # window-median gate migrates without a false trip.
+    "c5-multichip": 8,
 }
 BENCH_CONFIGS = list(BENCH_SPP)  # names, preset-ordered
 HEADLINE = "c3-mesh"  # the north-star scene (BVH triangle mesh)

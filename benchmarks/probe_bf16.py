@@ -44,7 +44,7 @@ RESULTS (2026-08-19, TPU v5e via axon relay):
   C-e2e (quick_tpu c3-mesh TPURT_SPP=128 contract, one process per
   setting, interleaved same evening so relay drift is controlled):
        f32 rows : 8.287 / 8.286 Mrays/s (34.144 / 34.145 s)
-       packed   : 8.276 / 8.274 Mrays/s (34.189 / 34.196 s)
+       packed   : 8.276 / 8.274 / 8.279 Mrays/s (34.19 / 34.20 / 34.17)
        rays_cast identical both ways (282,936,301 — not even a t-tie
        flip on this workload); within-setting spread +-0.002, across
        -0.012 -> a real, reproducible -0.15%.
