@@ -18,8 +18,29 @@ which cut primaries 24% — move it at all? If the tail share is still
 round floors specifically; if it has shrunk, the fresh-bounce volume
 is again the target.
 
-RESULTS: pending (appended after the TPU run, per the probe
-discipline).
+MEASURED (TPU v5e via axon relay, 2026-08-19, best-of-2 full-frame
+passes; shipped defaults, OCT_ENABLE=True):
+
+    depth   wall_s   rays        | marginal  wall_s  rays     ns/ray  share
+    1       4.807    117.96M     | b1        9.184   101.8M    90.2   26.9%
+    2      13.992    219.77M     | b2        6.518    33.7M   193.5   19.1%
+    3      20.510    253.45M     | b3        4.909    17.3M   283.0   14.4%
+    4      25.418    270.79M     | b4-5      5.558     8.9M   621.6   16.3%
+    6      30.976    279.73M     | b6-7      3.173     3.2M   990.7    9.3%
+    8      34.149    282.94M     | (depth-1 base = 14.1%)
+
+VERDICT: the deep tail (bounces 4-7) is 25.6% of the contract frame —
+real but NOT the half the round-3 strided profile suggested; bounce 1
+alone is the largest marginal term (26.9%), and marginal ns/ray grows
+11x from bounce 1 to bounces 6-7 (any-live packet width decays far
+slower than ray liveness). Octant did move the tail: shares are
+front-loaded vs round 3's 28% for 4+. The decisive cross-reference:
+the bounce-1 marginal is 9.184 s / 256 batches = 35.9 ms per 512k
+batch, while probe_stagewalls measures the ISOLATED traversal of the
+same real survivor set at 7.6 ms — the frame pays a ~4x IN-CONTEXT
+multiplier on top of the traversal volume integral. Localizing that
+multiplier (trace's loop machinery vs _accum_frame's fori nest) is
+probe_context.py.
 """
 
 from __future__ import annotations

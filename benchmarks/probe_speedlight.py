@@ -11,8 +11,28 @@ mega, depth 8) with mesh_subdiv swept 4..7 (5120 / 20480 / 81920 /
 327680 tris), warmup excluded, best of 2 timed passes per point, all
 in one process (programs differ by tree-array shapes only).
 
-RESULTS: pending (appended after the TPU run, per the probe
-discipline).
+MEASURED (TPU v5e via axon relay, 2026-08-19, shipped defaults,
+OCT_ENABLE=True; actual tri counts include the blob's base geometry):
+
+    subdiv  tris     wall_s   Mrays/s
+    4        6,592   22.775   12.423
+    5       26,072   29.347    9.641
+    6      104,672   34.150    8.285   (the contract c3 point)
+    7      419,828   42.434    6.668
+
+VERDICT: throughput is remarkably FLAT in scene size — 64x the
+triangles costs only 1.86x (the walk grows ~log tris and leaf volume
+saturates the per-round cost only slowly). Two readings: (a) the
+framework scales to production scene sizes gracefully — c3 at 420k
+tris still sustains 6.7 Mrays/s; (b) the north star is NOT reachable
+on ANY triangle scene by shrinking the tree: even at 6.6k tris the
+frame only reaches 12.4 Mrays/s, because most of the wall is NOT
+traversal volume (probe_stagewalls: isolated traversal is ~24 of the
+frame's ~133 ms/batch; probe_context bisects the rest). Extrapolating
+the curve leftward, a zero-triangle c3 bounce workload would sit near
+~13-14 Mrays/s — that is the current program-structure ceiling,
+independent of the BVH. The speed-of-light table (BASELINE.md round-5
+addendum) builds on exactly this decomposition.
 """
 
 from __future__ import annotations

@@ -16,8 +16,41 @@ Workloads: isolated bounce-0..4 traversals of a 512k c3 batch (the
 contract frame's batch shape; survivor sets from the real material
 chain, as probe_retune_oct.py).
 
-RESULTS: pending (appended after the TPU run, per the probe
-discipline).
+MEASURED (TPU v5e via axon relay, 2026-08-19, device_time_fused,
+shipped defaults, OCT_ENABLE=True; 512k batch, real survivor sets kept
+IN PLACE in tile order — dead lanes t_cap=0, packet membership intact):
+
+    workload  live    wall_ms  rounds  sum_pp   dominant stages
+    bounce0   524288    3.451    16    13632    1024x5r, 4096x1r
+    bounce1   398079    7.589    51    30208    1024x12r, 2048x4r, 64x20r
+    bounce2    89182    4.878    44    17600    1024x6r, 512x8r, 64x19r
+    bounce3    43426    4.756    51    15616    1024x5r, 64x30r
+    bounce4     5258    3.420    41    10240    4096x1r, 64x30r
+
+    cost fit: wall = rounds x 31.25 us + sum_pp x 201.65 ns
+              (least squares over the 5 workloads, residuals <= 0.2 ms)
+
+Observations the fit prices:
+  * The width-64 tail stages of bounces 1-4 run 99 rounds = 3.1 ms of
+    round floors against only 1.3 ms of volume — the narrow tail is
+    latency-bound (the floor is ~8 ADV serial links/round), consistent
+    with probe_advstage's links conservation law.
+  * Every workload pays one full-width 4096 opening round (0.86 ms) —
+    at bounce 4 (5258 live rays) that single round is 25% of the
+    bounce. In PRODUCTION the bounce-stage ladder (trace._run) has
+    already shrunk deep bounces below full width, so this is an
+    entry-width artifact of the isolated protocol, not a frame cost.
+  * THE HEADLINE: summed isolated traversal b0-b4 is ~24 ms per 512k
+    batch (b5-7 add ~3 ms) against the frame's ~133 ms/batch — the
+    traversal volume integral the ceiling model prices is now a
+    MINORITY of the contract frame. The other ~100 ms/batch is an
+    in-context multiplier no isolated probe ever saw; probe_context.py
+    bisects it (trace while/ladder vs _accum_frame fori nest).
+
+VERDICT: the (bounce, stage) wall table is attributed (BASELINE.md
+round-5 addendum); the conservation law holds WITHIN traversal, but
+traversal no longer owns the frame — the round-5 attack target is the
+in-context term, not the stage schedule.
 """
 
 from __future__ import annotations
