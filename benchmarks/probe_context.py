@@ -36,8 +36,37 @@ D vs C separates the bounce-ladder's share from the while_loop's;
 E vs C(2) separates while_loop carry/loop overhead from the ops
 themselves (E keeps ALL the arithmetic including both traversals).
 
-RESULTS: pending (appended after the TPU run, per the probe
-discipline).
+MEASURED (TPU v5e via axon relay, 2026-08-19, block-0 batch = first
+512k pixels of tile order, sample 0; fused timer unless noted):
+
+    iso_b0  trav  3.465  body  5.902      trace_d1        15.465
+    iso_b1  trav  7.590  body 10.641      trace_d2        27.927
+            (chained cross-check: 2.81)   trace_d3        34.011
+    iso_b2  trav  4.855  body  7.507      trace_d8        46.899
+    iso_b3  trav  5.248  body  7.471      trace_nostage_d1 7.331
+                                          trace_nostage_d2 19.575
+    (all ms per call)                     straightline_d2 17.123
+
+VERDICT (settled by probe_hostchain.py, which this probe triggered):
+the "~4x in-context multiplier" was CONTENT, not context. This probe's
+block-0 batch is the sky-heavy cheap half of the 720p frame
+(trace_d8 = 46.9-51.7 ms standalone on both timers), while the
+frame-average batch costs 137.5 ms and probe_hostchain measured the
+production fori nest at ZERO overhead vs host-chained dispatches
+(bit-exact tie). The bouncewall marginals remain the honest frame
+attribution. What this probe DID price, on block-0 content:
+
+  * the bounce-stage ladder's fixed cost is ~8.1-8.35 ms/batch at
+    depths 1-2 (trace_d1 15.47 vs nostage 7.33; d2 27.93 vs 19.58) —
+    the ladder is pure overhead until the deep tail repays it, so its
+    value is entirely a tail trade (re-gridded under octant by
+    probe_retune_oct.py);
+  * the bounce while_loop itself costs ~2.5 ms/batch at depth 2
+    (nostage_d2 19.58 vs straightline 17.12) — small;
+  * trav_chained 2.81 vs fused 7.59 on the same call is quarantined in
+    probe_hostchain.py ("unexplained residue"): the two timers agree at
+    trace granularity, disagree 2.7x at sub-10 ms nested-while
+    granularity; neither is trusted there, full-config walls decide.
 """
 
 from __future__ import annotations

@@ -31,14 +31,26 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from tpurt import config, mesh, render
+    from tpurt import bvh, config, mesh, render
     from tpurt.kernels import traverse
 
     if os.environ.get("TPURT_OCT") == "1":
         traverse.OCT_ENABLE = True
     if os.environ.get("TPURT_BF16PACK") in ("0", "1"):
-        from tpurt import bvh
         bvh.PK_BF16_PACK = os.environ["TPURT_BF16PACK"] == "1"
+    # traversal-schedule knobs (probe_retune_oct.py's end-to-end grid);
+    # module globals are read at trace time, so one process per setting
+    if os.environ.get("TPURT_ADV"):
+        traverse.ADV_STEPS = int(os.environ["TPURT_ADV"])
+        traverse.ADV_MID = traverse.ADV_TAIL = traverse.ADV_STEPS
+    if os.environ.get("TPURT_MC"):
+        traverse.MC_PACKETS = int(os.environ["TPURT_MC"])
+    if os.environ.get("TPURT_DRAIN"):
+        traverse.DRAIN_N = tuple(
+            int(x) for x in os.environ["TPURT_DRAIN"].split(","))
+    if os.environ.get("TPURT_STAGEMAX"):
+        from tpurt import trace
+        trace.BOUNCE_STAGE_MAX = int(os.environ["TPURT_STAGEMAX"])
     spp_over = int(os.environ.get("TPURT_SPP", "0"))
 
     names = sys.argv[1:] or ["c3-mesh"]
