@@ -26,13 +26,17 @@ saturates the per-round cost only slowly). Two readings: (a) the
 framework scales to production scene sizes gracefully — c3 at 420k
 tris still sustains 6.7 Mrays/s; (b) the north star is NOT reachable
 on ANY triangle scene by shrinking the tree: even at 6.6k tris the
-frame only reaches 12.4 Mrays/s, because most of the wall is NOT
-traversal volume (probe_stagewalls: isolated traversal is ~24 of the
-frame's ~133 ms/batch; probe_context bisects the rest). Extrapolating
-the curve leftward, a zero-triangle c3 bounce workload would sit near
-~13-14 Mrays/s — that is the current program-structure ceiling,
-independent of the BVH. The speed-of-light table (BASELINE.md round-5
-addendum) builds on exactly this decomposition.
+frame only reaches 12.4 Mrays/s. Extrapolating the curve leftward, a
+zero-triangle c3 bounce workload would sit near ~13-14 Mrays/s — that
+is the tree-independent part of the program's cost (bounce bodies,
+RNG, materials, film machinery) priced directly. [Correction, same
+session: the first draft of this verdict also cited probe_stagewalls'
+"traversal is ~24 of 133 ms/batch" to claim most of the wall was
+non-traversal; probe_hostchain.py refuted that reading — the 24 ms was
+measured on the frame's CHEAPEST batch (block 0, sky half). The curve
+above is unaffected: it is full-frame end-to-end at every point.] The
+speed-of-light table (BASELINE.md round-5) uses this curve as the
+tree-volume axis.
 """
 
 from __future__ import annotations

@@ -40,17 +40,25 @@ Observations the fit prices:
     bounce. In PRODUCTION the bounce-stage ladder (trace._run) has
     already shrunk deep bounces below full width, so this is an
     entry-width artifact of the isolated protocol, not a frame cost.
-  * THE HEADLINE: summed isolated traversal b0-b4 is ~24 ms per 512k
-    batch (b5-7 add ~3 ms) against the frame's ~133 ms/batch — the
-    traversal volume integral the ceiling model prices is now a
-    MINORITY of the contract frame. The other ~100 ms/batch is an
-    in-context multiplier no isolated probe ever saw; probe_context.py
-    bisects it (trace while/ladder vs _accum_frame fori nest).
+  * The first draft's headline — "isolated traversal is ~24 of the
+    frame's ~133 ms/batch, so an in-context multiplier owns the
+    frame" — was REFUTED by probe_hostchain.py the same session: this
+    probe's survivor sets are all derived from the BLOCK-0 batch (the
+    first 512k pixels of tile order = the sky-heavy cheap half of the
+    720p frame, 46.9-51.7 ms standalone), while the frame-average
+    batch costs 137.5 ms; the gap is batch content, and the fori nest
+    itself measures ZERO overhead (bit-exact tie vs host-chained
+    dispatches). The per-round/per-pp cost FIT above is unaffected —
+    it is internally consistent across its five workloads — but its
+    absolute constants are calibrated on cheap-half content and the
+    fused timer (quarantined at sub-10 ms nested-while granularity by
+    probe_hostchain); treat them as lower-bound shape parameters, not
+    frame-level prices.
 
 VERDICT: the (bounce, stage) wall table is attributed (BASELINE.md
-round-5 addendum); the conservation law holds WITHIN traversal, but
-traversal no longer owns the frame — the round-5 attack target is the
-in-context term, not the stage schedule.
+round-5 addendum); the conservation law holds within traversal AND —
+after probe_hostchain's correction — still owns the frame. The
+schedule itself is re-gridded end-to-end by probe_retune_oct.py.
 """
 
 from __future__ import annotations
