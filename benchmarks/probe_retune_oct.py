@@ -19,8 +19,31 @@ are read at trace time, so a fresh process per point keeps jit caches
 honest). The law predicts flatness; we test for a MOVED optimum, and
 any point beating baseline re-runs before belief (CLAUDE.md protocol).
 
-RESULTS: pending (appended after the TPU run, per the probe
-discipline).
+RESULTS (2026-08-19, c3 CONTRACT 128 spp, one process per point,
+Mrays/s):
+
+    baseline (ADV=8, STAGE=4, DRAIN=4,2,1, MC=64)   8.281
+    ADV=6                                           8.347  (+0.8%)
+    ADV=10                                          7.878  (-4.9%)
+    STAGE=3                                         8.296  (tie)
+    STAGE=5                                         8.204  (-0.9%)
+    DRAIN=8,4,2                                     7.306  (-11.8%)
+    MC=32                                           8.282  (tie)
+    MC=128                                          8.286  (tie)
+
+Confirmation (interleaved, fresh processes, same evening):
+baseline 8.281 / ADV=6 8.347 / baseline 8.285 / ADV=6 8.347 —
+a reproducible +0.8% with rays_cast identical (282936301) at 283M
+rays, i.e. bit-exact on this workload. VERDICT: the law mostly holds
+(5 of 7 non-baseline points are ties or losses tracking volume), but
+the optimum DID move one notch: octant's shorter chains (primaries
+24->17 rounds) shift the full-width ADV/backlog balance down a step.
+NOTE the env knob lowers only traverse.ADV_STEPS, so the measured
+winner is full-width stages at 6 with tail/mid stages still at 8
+(see traverse.py's ADV_MID/ADV_TAIL comment). ADOPTED: ADV_STEPS=6
+(traverse.py), exactly the measured configuration. DRAIN=(8,4,2)'s
+-11.8% independently re-confirms probe_drainbatch's round-2 tuning
+from the other side post-octant.
 """
 
 from __future__ import annotations

@@ -100,17 +100,22 @@ def bvh_nearest_tri(scene: Scene, o, d, t_max):
 
 
 PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
-# node steps per traversal round. Re-tuned round 2 under multi-drain on
-# v5e: {3: 14.1, 4: 11.9, 6: 10.26, 8: 10.11, 12: 15.3} ms on the c3
-# bounce-1 workload — 8 wins both bounce and primary slightly.
-ADV_STEPS = 8
-# Stage-graded phase A — measured and REFUTED (round 3,
-# benchmarks/probe_advstage.py): there is no latency floor that deeper
-# rounds hide under, because each phase-A step IS a serial dependence
-# link (~2-4 us); wall time tracks TOTAL LINKS, which every tail/mid
-# grade only raises (masked steps on stalled stragglers). The knobs
-# stay at ADV_STEPS (= graded OFF); kept as hooks because the selection
-# is one line and the probe grid reuses them.
+# node steps per traversal round. Round-2 grid (pre-octant, isolated c3
+# bounce-1): {3: 14.1, 4: 11.9, 6: 10.26, 8: 10.11, 12: 15.3} ms — 8 won
+# slightly. Round-5 re-grid on the OCTANT tree, END TO END at contract
+# spp (benchmarks/probe_retune_oct.py): 6 beats 8 by a reproducible
+# +0.8% (8.347/8.347 vs 8.281/8.285 interleaved, rays_cast identical),
+# consistent with octant's shorter chains (primaries 24->17 rounds)
+# shifting the ADV/backlog balance down one step. 10 loses 4.9%.
+ADV_STEPS = 6
+# Stage-graded phase A: RAISING tail/mid above the full-width value was
+# refuted in round 3 (benchmarks/probe_advstage.py — each phase-A step
+# is a serial dependence link, wall tracks TOTAL LINKS, and grades only
+# added masked steps on stalled stragglers). The round-5 octant retune
+# landed on the opposite grade for free: the TPURT_ADV env knob lowers
+# only ADV_STEPS, so the measured +0.8% winner is full-width stages at
+# 6 with narrow (tail/mid) stages still at 8 — shorter octant chains
+# favour fewer full-width steps, while narrow stages stay link-bound.
 ADV_MID = 8     # stages with pp <= DRAIN2_MAX
 ADV_TAIL = 8    # stages with pp <= DRAIN4_MAX
 # node steps per round over the WIDE (8-ary) layout: each step covers ~3
