@@ -38,10 +38,10 @@ rays, i.e. bit-exact on this workload. VERDICT: the law mostly holds
 (5 of 7 non-baseline points are ties or losses tracking volume), but
 the optimum DID move one notch: octant's shorter chains (primaries
 24->17 rounds) shift the full-width ADV/backlog balance down a step.
-NOTE the env knob lowers only traverse.ADV_STEPS, so the measured
-winner is full-width stages at 6 with tail/mid stages still at 8
-(see traverse.py's ADV_MID/ADV_TAIL comment). ADOPTED: ADV_STEPS=6
-(traverse.py), exactly the measured configuration. DRAIN=(8,4,2)'s
+The TPURT_ADV knob sets ADV_STEPS *and* ADV_MID/ADV_TAIL
+(quick_tpu.py), so the measured winner is the UNGRADED schedule at 6.
+ADOPTED: ADV_STEPS=6 with ADV_MID/ADV_TAIL tracking it (traverse.py),
+exactly the measured configuration. DRAIN=(8,4,2)'s
 -11.8% independently re-confirms probe_drainbatch's round-2 tuning
 from the other side post-octant.
 """

@@ -106,18 +106,19 @@ PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 # spp (benchmarks/probe_retune_oct.py): 6 beats 8 by a reproducible
 # +0.8% (8.347/8.347 vs 8.281/8.285 interleaved, rays_cast identical),
 # consistent with octant's shorter chains (primaries 24->17 rounds)
-# shifting the ADV/backlog balance down one step. 10 loses 4.9%.
+# shifting the ADV/backlog balance down one step. 10 loses 4.9%. The
+# grid's knob sets ADV_MID/ADV_TAIL too, so 6 ships ungraded.
 ADV_STEPS = 6
-# Stage-graded phase A: RAISING tail/mid above the full-width value was
-# refuted in round 3 (benchmarks/probe_advstage.py — each phase-A step
-# is a serial dependence link, wall tracks TOTAL LINKS, and grades only
-# added masked steps on stalled stragglers). The round-5 octant retune
-# landed on the opposite grade for free: the TPURT_ADV env knob lowers
-# only ADV_STEPS, so the measured +0.8% winner is full-width stages at
-# 6 with narrow (tail/mid) stages still at 8 — shorter octant chains
-# favour fewer full-width steps, while narrow stages stay link-bound.
-ADV_MID = 8     # stages with pp <= DRAIN2_MAX
-ADV_TAIL = 8    # stages with pp <= DRAIN4_MAX
+# Stage-graded phase A — measured and REFUTED (round 3,
+# benchmarks/probe_advstage.py): there is no latency floor that deeper
+# rounds hide under, because each phase-A step IS a serial dependence
+# link (~2-4 us); wall time tracks TOTAL LINKS, which every tail/mid
+# grade only raises (masked steps on stalled stragglers). The knobs
+# stay at ADV_STEPS (= graded OFF; quick_tpu's TPURT_ADV knob sets all
+# three, so the round-5 retune measured the ungraded schedule); kept
+# as hooks because the selection is one line and probe grids reuse them.
+ADV_MID = ADV_STEPS     # stages with pp <= DRAIN2_MAX
+ADV_TAIL = ADV_STEPS    # stages with pp <= DRAIN4_MAX
 # node steps per round over the WIDE (8-ary) layout: each step covers ~3
 # binary levels, so fewer steps sustain the same leaf-enqueue rate.
 # Tuned round 3 on the c3 bounce-1 workload (benchmarks/probe_fanout.py).
