@@ -43,6 +43,11 @@ def main() -> None:
     if os.environ.get("TPURT_ADV"):
         traverse.ADV_STEPS = int(os.environ["TPURT_ADV"])
         traverse.ADV_MID = traverse.ADV_TAIL = traverse.ADV_STEPS
+    if os.environ.get("TPURT_ADVTAIL"):
+        # grade the narrow (tail/mid) stages separately from full width
+        # (probe_retune_oct A/B: ungraded 6 vs full=6, tail/mid=8)
+        traverse.ADV_MID = traverse.ADV_TAIL = int(
+            os.environ["TPURT_ADVTAIL"])
     if os.environ.get("TPURT_MC"):
         traverse.MC_PACKETS = int(os.environ["TPURT_MC"])
     if os.environ.get("TPURT_DRAIN"):
