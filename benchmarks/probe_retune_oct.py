@@ -39,11 +39,25 @@ rays, i.e. bit-exact on this workload. VERDICT: the law mostly holds
 the optimum DID move one notch: octant's shorter chains (primaries
 24->17 rounds) shift the full-width ADV/backlog balance down a step.
 The TPURT_ADV knob sets ADV_STEPS *and* ADV_MID/ADV_TAIL
-(quick_tpu.py), so the measured winner is the UNGRADED schedule at 6.
-ADOPTED: ADV_STEPS=6 with ADV_MID/ADV_TAIL tracking it (traverse.py),
-exactly the measured configuration. DRAIN=(8,4,2)'s
--11.8% independently re-confirms probe_drainbatch's round-2 tuning
-from the other side post-octant.
+(quick_tpu.py), so the grid's winner above is the UNGRADED schedule
+at 6. DRAIN=(8,4,2)'s -11.8% independently re-confirms
+probe_drainbatch's round-2 tuning from the other side post-octant.
+
+GRADED-TAIL A/B (same evening, after a contract_rows run under an
+accidental {full=6, tail/mid=8} hybrid read FASTER than ungraded-6;
+interleaved, one process per point, TPURT_ADVTAIL knob):
+
+    {6,6,6} ungraded:   8.344 / 8.346 Mrays/s  (walls 33.908/33.899)
+    {6,8,8} graded:     8.475 / 8.473 Mrays/s  (walls 33.385/33.393)
+
+The graded-DOWN schedule wins another +1.6% (+2.3% total over all-8),
+rays_cast identical again. This does NOT contradict probe_advstage's
+round-3 refutation — that refuted raising tail/mid ABOVE the
+full-width value (extra masked links); here the full-width value
+drops below the tail's. Mechanism: wide stages are step-VOLUME-bound
+(octant's shorter chains favour 6), narrow tail stages are
+ROUND-floor-bound (8 steps/round minimises rounds at ~free masked
+cost). ADOPTED: ADV_STEPS=6, ADV_MID=ADV_TAIL=8 (traverse.py).
 """
 
 from __future__ import annotations

@@ -106,19 +106,23 @@ PACKET_R = 128  # rays per packet: one traversal cursor per 128 rays
 # spp (benchmarks/probe_retune_oct.py): 6 beats 8 by a reproducible
 # +0.8% (8.347/8.347 vs 8.281/8.285 interleaved, rays_cast identical),
 # consistent with octant's shorter chains (primaries 24->17 rounds)
-# shifting the ADV/backlog balance down one step. 10 loses 4.9%. The
-# grid's knob sets ADV_MID/ADV_TAIL too, so 6 ships ungraded.
+# shifting the ADV/backlog balance down one step. 10 loses 4.9%. A
+# follow-up interleaved A/B found the stronger form: keep the NARROW
+# stages at 8 (see ADV_MID/ADV_TAIL below) — 8.475/8.473 vs ungraded-6
+# 8.344/8.346, +2.3% total over the old all-8 schedule.
 ADV_STEPS = 6
-# Stage-graded phase A — measured and REFUTED (round 3,
-# benchmarks/probe_advstage.py): there is no latency floor that deeper
-# rounds hide under, because each phase-A step IS a serial dependence
-# link (~2-4 us); wall time tracks TOTAL LINKS, which every tail/mid
-# grade only raises (masked steps on stalled stragglers). The knobs
-# stay at ADV_STEPS (= graded OFF; quick_tpu's TPURT_ADV knob sets all
-# three, so the round-5 retune measured the ungraded schedule); kept
-# as hooks because the selection is one line and probe grids reuse them.
-ADV_MID = ADV_STEPS     # stages with pp <= DRAIN2_MAX
-ADV_TAIL = ADV_STEPS    # stages with pp <= DRAIN4_MAX
+# Stage-graded phase A. Round 3 refuted grading UP (probe_advstage:
+# tail/mid ABOVE the full-width value only adds masked serial links on
+# stalled stragglers). Round 5's octant retune adopted the OPPOSITE
+# grade (probe_retune_oct A/B, interleaved, c3 contract): full-width
+# stages at 6 with tail/mid kept at 8 reads 8.475/8.473 Mrays/s vs
+# 8.344/8.346 ungraded-6 and 8.281/8.285 all-8 — +2.3% total,
+# rays_cast identical. Mechanism: wide stages' wall is step VOLUME
+# (fewer steps win under octant's shorter chains), while the narrow
+# tail stages are ROUND-floor-bound (BASELINE ceiling model), where 8
+# steps/round minimises round count at negligible masked-step cost.
+ADV_MID = 8     # stages with pp <= DRAIN2_MAX
+ADV_TAIL = 8    # stages with pp <= DRAIN4_MAX
 # node steps per round over the WIDE (8-ary) layout: each step covers ~3
 # binary levels, so fewer steps sustain the same leaf-enqueue rate.
 # Tuned round 3 on the c3 bounce-1 workload (benchmarks/probe_fanout.py).
