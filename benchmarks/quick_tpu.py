@@ -8,7 +8,7 @@ iteration between perf commits. Usage:
 
 Env toggles for adoption measurements (each process times one setting,
 so jit caches can never go stale across a flag flip):
-    TPURT_OCT=1       set kernels.traverse.OCT_ENABLE before scene build
+    TPURT_OCT=0/1     set kernels.traverse.OCT_ENABLE before scene build
     TPURT_BF16PACK=0/1  set bvh.PK_BF16_PACK before scene build
     TPURT_SPP=N       override the timed sample budget (e.g. contract 128)
 """
@@ -34,8 +34,8 @@ def main() -> None:
     from tpurt import bvh, config, mesh, render
     from tpurt.kernels import traverse
 
-    if os.environ.get("TPURT_OCT") == "1":
-        traverse.OCT_ENABLE = True
+    if os.environ.get("TPURT_OCT") in ("0", "1"):
+        traverse.OCT_ENABLE = os.environ["TPURT_OCT"] == "1"
     if os.environ.get("TPURT_BF16PACK") in ("0", "1"):
         bvh.PK_BF16_PACK = os.environ["TPURT_BF16PACK"] == "1"
     # traversal-schedule knobs (probe_retune_oct.py's end-to-end grid);
