@@ -94,7 +94,10 @@ def main() -> None:
         kind = re.sub(r"[.\d]+$", "", e["name"])
         agg[kind] += e["dur"]
         cnt[kind] += 1
-    for kind, dur in agg.most_common(15):
+    # Optional second arg: how many kinds to print (default 15; pass a
+    # big number to decompose the census's "other" tail completely).
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    for kind, dur in agg.most_common(top_n):
         print(json.dumps({"kind": kind, "count": cnt[kind],
                           "ms": round(dur / 1e3, 2),
                           "avg_us": round(dur / cnt[kind], 2)}))
